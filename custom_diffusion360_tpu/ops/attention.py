@@ -1,0 +1,102 @@
+"""Multi-head attention for TPU.
+
+Replaces xformers ``memory_efficient_attention`` / torch SDPA (reference:
+sgm/modules/attention.py:290-294,405-408; sgm/modules/diffusionmodules/
+model.py:249). Two paths:
+
+* ``pallas``: the fused flash-attention TPU kernel
+  (jax.experimental.pallas.ops.tpu.flash_attention) when shapes allow —
+  long self-attention sequences in the UNet/VAE.
+* ``xla``: a plain jnp implementation with fp32 softmax accumulation; XLA
+  fuses this well for short sequences (77-token text cross-attention) and it
+  is the fallback everywhere (CPU tests, odd shapes).
+
+Inputs are (batch, seq, heads, head_dim) — the layout the models keep
+activations in; transposition to the kernel layout happens here.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+_FLASH = None
+
+
+def _get_flash():
+    global _FLASH
+    if _FLASH is None:
+        try:
+            from jax.experimental.pallas.ops.tpu import flash_attention as fa
+
+            _FLASH = fa
+        except Exception:  # pragma: no cover
+            _FLASH = False
+    return _FLASH
+
+
+def _xla_attention(q, k, v, scale):
+    # q: (b, n, h, d); k/v: (b, m, h, d)
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+
+
+def _flash_ok(q, k):
+    if jax.devices()[0].platform != "tpu":
+        return False
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    # the TPU kernel wants lane-aligned seq lengths and head dims
+    return (d % 128 == 0) and (n % 128 == 0) and (m % 128 == 0)
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float | None = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Softmax attention. q: (b, n, h, d); k, v: (b, m, h, d) -> (b, n, h, d).
+
+    ``scale`` defaults to d**-0.5 (torch SDPA default, attention.py:294).
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+
+    if impl == "auto":
+        impl = "pallas" if _flash_ok(q, k) and _get_flash() else "xla"
+
+    if impl == "pallas":
+        fa = _get_flash()
+        qt = jnp.swapaxes(q, 1, 2)  # (b, h, n, d)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        out = fa.flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+        return jnp.swapaxes(out, 1, 2)
+
+    return _xla_attention(q, k, v, scale)
+
+
+def attention_padded_kv(q, k, v, kv_len: int, scale: float | None = None):
+    """Attention where k/v were zero-padded along seq to ``k.shape[1]``.
+
+    Applies a large-negative mask to padded keys; used for 77-token text
+    context padded to a lane-aligned length.
+    """
+    d = q.shape[-1]
+    if scale is None:
+        scale = d**-0.5
+    logits = jnp.einsum(
+        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
+    )
+    m = k.shape[1]
+    mask = (jnp.arange(m) < kv_len)[None, None, None, :]
+    logits = jnp.where(mask, logits * scale, -1e30)
+    probs = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
