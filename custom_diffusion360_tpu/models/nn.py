@@ -1,0 +1,191 @@
+"""Minimal functional layer library over param pytrees.
+
+Every layer is (init, apply) pure-function pairs; params are nested dicts of
+jnp arrays. Conventions:
+
+* linear weights are stored (in, out) so application is ``x @ w`` (torch
+  checkpoints transpose on import);
+* convs use NHWC activations and HWIO kernels (TPU-native layout; torch OIHW
+  kernels transpose on import);
+* normalization statistics are computed in float32 regardless of activation
+  dtype (reference: GroupNorm32, sgm/modules/diffusionmodules/util.py:309-311).
+"""
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+
+# ---------------------------------------------------------------------------
+# initializers
+# ---------------------------------------------------------------------------
+
+
+def _kaiming_uniform(key, shape, fan_in):
+    bound = math.sqrt(1.0 / fan_in)
+    return jax.random.uniform(key, shape, jnp.float32, -bound, bound)
+
+
+def linear_init(key, in_dim, out_dim, bias=True, zero=False, eye=False, std=None):
+    if zero:
+        w = jnp.zeros((in_dim, out_dim), jnp.float32)
+    elif eye:
+        w = jnp.eye(in_dim, out_dim, dtype=jnp.float32)
+    elif std is not None:
+        w = jax.random.normal(key, (in_dim, out_dim), jnp.float32) * std
+    else:
+        w = _kaiming_uniform(key, (in_dim, out_dim), in_dim)
+    p = {"w": w}
+    if bias:
+        kb = jax.random.split(key)[1]
+        p["b"] = (
+            jnp.zeros((out_dim,), jnp.float32)
+            if zero or eye
+            else _kaiming_uniform(kb, (out_dim,), in_dim)
+        )
+    return p
+
+
+def linear(p, x):
+    y = x @ p["w"].astype(x.dtype)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def conv2d_init(key, in_ch, out_ch, kernel=3, bias=True, zero=False):
+    fan_in = in_ch * kernel * kernel
+    if zero:
+        w = jnp.zeros((kernel, kernel, in_ch, out_ch), jnp.float32)
+    else:
+        w = _kaiming_uniform(key, (kernel, kernel, in_ch, out_ch), fan_in)
+    p = {"w": w}
+    if bias:
+        kb = jax.random.split(key)[1]
+        p["b"] = (
+            jnp.zeros((out_ch,), jnp.float32)
+            if zero
+            else _kaiming_uniform(kb, (out_ch,), fan_in)
+        )
+    return p
+
+
+def conv2d(p, x, stride=1, padding="SAME"):
+    """x: NHWC. kernel: HWIO."""
+    y = jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(stride, stride),
+        padding=padding,
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y
+
+
+def group_norm_init(channels):
+    return {"scale": jnp.ones((channels,), jnp.float32),
+            "bias": jnp.zeros((channels,), jnp.float32)}
+
+
+def group_norm(p, x, num_groups=32, eps=1e-6):
+    """x: (..., C) channels-last; stats over (spatial..., group-channels).
+
+    Matches torch GroupNorm semantics (per-sample, per-group), computed fp32.
+    """
+    orig_dtype = x.dtype
+    c = x.shape[-1]
+    n = x.shape[0]
+    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
+    mean = xf.mean(axis=(1, 3), keepdims=True)
+    var = xf.var(axis=(1, 3), keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    xf = xf.reshape(x.shape)
+    return (xf * p["scale"] + p["bias"]).astype(orig_dtype)
+
+
+def layer_norm_init(dim):
+    return {"scale": jnp.ones((dim,), jnp.float32),
+            "bias": jnp.zeros((dim,), jnp.float32)}
+
+
+def layer_norm(p, x, eps=1e-5):
+    xf = x.astype(jnp.float32)
+    mean = xf.mean(-1, keepdims=True)
+    var = xf.var(-1, keepdims=True)
+    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
+    return (xf * p["scale"] + p["bias"]).astype(x.dtype)
+
+
+def silu(x):
+    return x * jax.nn.sigmoid(x)
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+# ---------------------------------------------------------------------------
+# timestep embedding (reference: diffusionmodules/util.py:206-230)
+# ---------------------------------------------------------------------------
+
+
+def timestep_embedding(t, dim, max_period=10000.0):
+    """t: (N,) possibly fractional -> (N, dim); layout [cos | sin]."""
+    half = dim // 2
+    freqs = jnp.exp(
+        -math.log(max_period) * jnp.arange(half, dtype=jnp.float32) / half
+    )
+    args = t.astype(jnp.float32)[:, None] * freqs[None]
+    emb = jnp.concatenate([jnp.cos(args), jnp.sin(args)], axis=-1)
+    if dim % 2:
+        emb = jnp.concatenate([emb, jnp.zeros_like(emb[:, :1])], axis=-1)
+    return emb
+
+
+# ---------------------------------------------------------------------------
+# trunc_exp: exp with clipped-input backward (reference: attention.py:192-210)
+# ---------------------------------------------------------------------------
+
+
+@jax.custom_vjp
+def trunc_exp(x):
+    return jnp.exp(x)
+
+
+def _trunc_exp_fwd(x):
+    return jnp.exp(x), x
+
+
+def _trunc_exp_bwd(x, g):
+    return (g * jnp.exp(jnp.clip(x, -15.0, 15.0)),)
+
+
+trunc_exp.defvjp(_trunc_exp_fwd, _trunc_exp_bwd)
+
+
+# ---------------------------------------------------------------------------
+# misc
+# ---------------------------------------------------------------------------
+
+
+def nearest_resize_tokens(x, src_res: int, dst_res: int):
+    """(..., src*src, C) -> (..., dst*dst, C) nearest-neighbor (torch
+    F.interpolate mode='nearest' semantics: floor(idx * src/dst))."""
+    if src_res == dst_res:
+        return x
+    idx = jnp.floor(jnp.arange(dst_res) * (src_res / dst_res)).astype(jnp.int32)
+    img = x.reshape(x.shape[:-2] + (src_res, src_res, x.shape[-1]))
+    img = jnp.take(img, idx, axis=-3)
+    img = jnp.take(img, idx, axis=-2)
+    return img.reshape(x.shape[:-2] + (dst_res * dst_res, x.shape[-1]))
+
+
+def upsample_nearest_2x(x):
+    """NHWC nearest 2x upsample."""
+    n, h, w, c = x.shape
+    x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
+    return x.reshape(n, h * 2, w * 2, c)

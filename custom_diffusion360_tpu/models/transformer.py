@@ -1,0 +1,385 @@
+"""Spatial transformer stack with FeatureNeRF pose-conditioning.
+
+TPU-native rework of the reference's attention.py (CrossAttention,
+BasicTransformerBlock, SpatialTransformer, :213-887). Functional over param
+pytrees; attention dispatches to the fused TPU kernel (ops.attention).
+
+Dual-stream contract (reference: SpatialTransformer.forward dual path,
+attention.py:821-886): the frozen reference stream (xr) runs the same weights
+under stop_gradient; blocks at depth ``d % poscontrol_interval == 0`` of
+image_cross transformers render a FeatureNeRF feature from the reference
+stream's activations and fuse it into the target stream through an
+identity-initialized linear (pose_emb_layers).
+
+``n_times_crossframe_attn_in_self`` (an unused reference hook) is not carried
+over.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry.cameras import Cameras
+from ..ops.attention import dot_product_attention
+from ..ops.volume_render import volume_render
+from .nerf import NerfConfig, init_nerf_params, nerfsd_apply
+from .nn import (
+    gelu,
+    group_norm,
+    group_norm_init,
+    layer_norm,
+    layer_norm_init,
+    linear,
+    linear_init,
+    trunc_exp,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class TransformerConfig:
+    dim: int
+    depth: int
+    n_heads: int
+    d_head: int
+    context_dim: int = 2048
+    image_cross: bool = False
+    poscontrol_interval: int = 4
+    use_prev_weights_imp_sample: bool = True
+    rgb_predict: bool = True
+    add_lora: bool = False
+    lora_rank: int = 32
+    nerf: Optional[NerfConfig] = None
+
+    def block_has_nerf(self, d: int) -> bool:
+        return self.image_cross and (d % self.poscontrol_interval == 0)
+
+    def block_imp_sample_next(self, d: int) -> bool:
+        # reference: attention.py:781
+        return (
+            self.use_prev_weights_imp_sample
+            and self.block_has_nerf(d)
+            and self.depth >= self.poscontrol_interval
+            and d < (self.depth // self.poscontrol_interval) * self.poscontrol_interval
+        )
+
+
+# ---------------------------------------------------------------------------
+# attention / feedforward
+# ---------------------------------------------------------------------------
+
+
+def init_cross_attention(key, query_dim, context_dim, n_heads, d_head, add_lora=False, lora_rank=32):
+    inner = n_heads * d_head
+    ks = jax.random.split(key, 12)
+    p = {
+        "to_q": linear_init(ks[0], query_dim, inner, bias=False),
+        "to_k": linear_init(ks[1], context_dim, inner, bias=False),
+        "to_v": linear_init(ks[2], context_dim, inner, bias=False),
+        "to_out": linear_init(ks[3], inner, query_dim),
+    }
+    if add_lora:
+        r = lora_rank
+        p["lora"] = {
+            "q_down": linear_init(ks[4], query_dim, r, bias=False, std=1.0 / r),
+            "q_up": linear_init(ks[5], r, inner, bias=False, zero=True),
+            "k_down": linear_init(ks[6], context_dim, r, bias=False, std=1.0 / r),
+            "k_up": linear_init(ks[7], r, inner, bias=False, zero=True),
+            "v_down": linear_init(ks[8], context_dim, r, bias=False, std=1.0 / r),
+            "v_up": linear_init(ks[9], r, inner, bias=False, zero=True),
+            "o_down": linear_init(ks[10], inner, r, bias=False, std=1.0 / r),
+            "o_up": linear_init(ks[11], r, query_dim, bias=False, zero=True),
+        }
+    return p
+
+
+def cross_attention_apply(p, x, context=None, *, n_heads: int):
+    """x: (B, N, C); context: (B, M, Cc) or None (self-attention)."""
+    ctx = x if context is None else context
+    q = linear(p["to_q"], x)
+    k = linear(p["to_k"], ctx)
+    v = linear(p["to_v"], ctx)
+    if "lora" in p:
+        lp = p["lora"]
+        q = q + linear(lp["q_up"], linear(lp["q_down"], x))
+        k = k + linear(lp["k_up"], linear(lp["k_down"], ctx))
+        v = v + linear(lp["v_up"], linear(lp["v_down"], ctx))
+    b, n, inner = q.shape
+    d_head = inner // n_heads
+    q = q.reshape(b, n, n_heads, d_head)
+    k = k.reshape(b, k.shape[1], n_heads, d_head)
+    v = v.reshape(b, v.shape[1], n_heads, d_head)
+    out = dot_product_attention(q, k, v).reshape(b, n, inner)
+    final = linear(p["to_out"], out)
+    if "lora" in p:
+        final = final + linear(p["lora"]["o_up"], linear(p["lora"]["o_down"], out))
+    return final
+
+
+def init_feedforward(key, dim, mult=4):
+    inner = dim * mult
+    k1, k2 = jax.random.split(key)
+    return {
+        "proj": linear_init(k1, dim, inner * 2),  # GEGLU
+        "out": linear_init(k2, inner, dim),
+    }
+
+
+def feedforward_apply(p, x):
+    h = linear(p["proj"], x)
+    a, gate = jnp.split(h, 2, axis=-1)
+    return linear(p["out"], a * gelu(gate))
+
+
+# ---------------------------------------------------------------------------
+# transformer block
+# ---------------------------------------------------------------------------
+
+
+def init_transformer_block(key, cfg: TransformerConfig, d: int):
+    ks = jax.random.split(key, 8)
+    lora = cfg.add_lora and cfg.block_has_nerf(d)
+    p = {
+        "attn1": init_cross_attention(
+            ks[0], cfg.dim, cfg.dim, cfg.n_heads, cfg.d_head, lora, cfg.lora_rank
+        ),
+        "attn2": init_cross_attention(
+            ks[1], cfg.dim, cfg.context_dim, cfg.n_heads, cfg.d_head, lora, cfg.lora_rank
+        ),
+        "ff": init_feedforward(ks[2], cfg.dim),
+        "norm1": layer_norm_init(cfg.dim),
+        "norm2": layer_norm_init(cfg.dim),
+        "norm3": layer_norm_init(cfg.dim),
+    }
+    if cfg.block_has_nerf(d):
+        p["pose_emb_layers"] = linear_init(
+            ks[3], 2 * cfg.dim, cfg.dim, bias=False, eye=True
+        )
+        p["pose_featurenerf"] = init_nerf_params(ks[4], cfg.nerf)
+    return p
+
+
+def _reference_attn(
+    p, cams, context_ref, context, prev_weights, mask_ref, cfg: TransformerConfig,
+    d: int, key, training: bool,
+):
+    """NeRF render + text cross-attn on per-point features + volume render.
+
+    Reference: BasicTransformerBlock.reference_attn (attention.py:571-598).
+    Returns (rendered (B, hw, C), fg_mask, prev_weights, alphas, rgb).
+    """
+    nerf_out = nerfsd_apply(
+        p["pose_featurenerf"],
+        cams,
+        context_ref,
+        mask_ref,
+        cfg.nerf,
+        key,
+        training,
+        prev_weights=prev_weights if cfg.use_prev_weights_imp_sample else None,
+        imp_sample_next_step=cfg.block_imp_sample_next(d),
+    )
+    feats = nerf_out["features"]  # (B, hw, S, C)
+    b, hw, s, c = feats.shape
+    feats = feats.reshape(b, hw * s, c)
+    feats = cross_attention_apply(
+        p["attn2"], layer_norm(p["norm2"], feats), context, n_heads=cfg.n_heads
+    ) + feats
+    feats = feats.reshape(b, hw, s, c)
+
+    sigma = trunc_exp(nerf_out["sigma"])
+    sigma_uniform = (
+        trunc_exp(nerf_out["sigma_uniform"])
+        if nerf_out["sigma_uniform"] is not None
+        else None
+    )
+    rgb = jax.nn.sigmoid(nerf_out["rgb"]) if nerf_out["rgb"] is not None else None
+    rendered = volume_render(
+        feats,
+        sigma,
+        nerf_out["dists"],
+        rgb=rgb,
+        densities_uniform=sigma_uniform,
+        dists_uniform=nerf_out["dists_uniform"],
+    )
+    new_prev = (
+        rendered["weights_uniform"] if cfg.use_prev_weights_imp_sample else None
+    )
+    return (
+        rendered["feats"],
+        rendered["fg_mask"],
+        new_prev,
+        rendered["alphas"],
+        rendered["rgb"],
+    )
+
+
+def transformer_block_apply(
+    p,
+    x,
+    context,
+    cfg: TransformerConfig,
+    d: int,
+    *,
+    context_ref=None,
+    cams: Cameras | None = None,
+    mask_ref=None,
+    prev_weights=None,
+    key=None,
+    training: bool = False,
+    nerf_cache=None,
+):
+    """One BasicTransformerBlock step (reference: attention.py:600-637).
+
+    x: (B, hw, C). context_ref: (B, Nref, hw, C) frozen reference activations
+    (already detached). nerf_cache: optional precomputed rendered feature
+    (B, hw, C) replacing the NeRF render (inference render-once cache,
+    reference sample.py:122-133).
+
+    Returns (x, aux) with aux = dict(fg_mask, prev_weights, alphas, rgb,
+    rendered) — entries None when not an image-cross block.
+    """
+    x = cross_attention_apply(
+        p["attn1"], layer_norm(p["norm1"], x), None, n_heads=cfg.n_heads
+    ) + x
+    x = cross_attention_apply(
+        p["attn2"], layer_norm(p["norm2"], x), context, n_heads=cfg.n_heads
+    ) + x
+
+    aux = dict(fg_mask=None, prev_weights=prev_weights, alphas=None, rgb=None,
+               rendered=None)
+    if "pose_emb_layers" in p and (context_ref is not None or nerf_cache is not None):
+        xf = x.astype(jnp.float32)  # fp32 island (reference attention.py:626)
+        if nerf_cache is not None:
+            rendered = nerf_cache
+        else:
+            rendered, fg_mask, new_prev, alphas, rgb = _reference_attn(
+                p, cams, context_ref, context.astype(jnp.float32), prev_weights,
+                mask_ref, cfg, d, key, training,
+            )
+            aux.update(
+                fg_mask=fg_mask, prev_weights=new_prev, alphas=alphas, rgb=rgb,
+                rendered=rendered,
+            )
+        fused = linear(
+            p["pose_emb_layers"],
+            jnp.concatenate([xf, rendered.astype(jnp.float32)], axis=-1),
+        )
+        x = fused.astype(x.dtype)
+
+    x = feedforward_apply(p["ff"], layer_norm(p["norm3"], x)) + x
+    return x, aux
+
+
+# ---------------------------------------------------------------------------
+# spatial transformer (reference: attention.py:684-887)
+# ---------------------------------------------------------------------------
+
+
+def init_spatial_transformer(key, in_channels: int, cfg: TransformerConfig):
+    ks = jax.random.split(key, cfg.depth + 3)
+    inner = cfg.n_heads * cfg.d_head
+    return {
+        "norm": group_norm_init(in_channels),
+        "proj_in": linear_init(ks[0], in_channels, inner),
+        "blocks": [
+            init_transformer_block(ks[2 + d], cfg, d) for d in range(cfg.depth)
+        ],
+        "proj_out": linear_init(ks[1], inner, in_channels, zero=True),
+    }
+
+
+def spatial_transformer_apply(
+    p,
+    x,
+    context,
+    cfg: TransformerConfig,
+    *,
+    xr=None,
+    context_ref=None,
+    cams: Cameras | None = None,
+    mask_ref=None,
+    key=None,
+    training: bool = False,
+    nerf_cache=None,
+):
+    """x: (B, H, W, C) NHWC. xr: (B*Nref, H, W, C) reference stream or None.
+
+    Returns (x, xr, aux) where aux = dict(fg_masks=[...], alphas=[...],
+    rgbs=[...], rendered={d: feats}) collected from image-cross blocks.
+    nerf_cache: dict {d: rendered feats} for the inference cache path.
+    """
+    b, h, w, c = x.shape
+    x_in = x
+    x = group_norm(p["norm"], x).reshape(b, h * w, c)
+    x = linear(p["proj_in"], x)
+
+    run_ref = xr is not None
+    if run_ref:
+        xr_in = xr
+        br = xr.shape[0]
+        xr = jax.lax.stop_gradient(
+            linear(p["proj_in"], group_norm(p["norm"], xr).reshape(br, h * w, c))
+        )
+
+    prev_weights = None
+    fg_masks, alphas_list, rgbs, rendered_out = [], [], [], {}
+    for d in range(cfg.depth):
+        blk = p["blocks"][d]
+        if cfg.block_has_nerf(d) and (run_ref or (nerf_cache and d in nerf_cache)):
+            if run_ref:
+                xr, _ = transformer_block_apply(
+                    blk, xr, context_ref, cfg, d, training=False
+                )
+                xr = jax.lax.stop_gradient(xr)
+                ctx_ref_tokens = jax.lax.stop_gradient(
+                    xr.reshape(b, br // b, h * w, -1)
+                )
+            else:
+                ctx_ref_tokens = None
+            bkey = None
+            if key is not None:
+                key, bkey = jax.random.split(key)
+            x, aux = transformer_block_apply(
+                blk,
+                x,
+                context,
+                cfg,
+                d,
+                context_ref=ctx_ref_tokens,
+                cams=cams,
+                mask_ref=mask_ref,
+                prev_weights=prev_weights,
+                key=bkey,
+                training=training,
+                nerf_cache=None if nerf_cache is None else nerf_cache.get(d),
+            )
+            prev_weights = aux["prev_weights"]
+            if aux["fg_mask"] is not None:
+                fg_masks.append(aux["fg_mask"])
+            if aux["alphas"] is not None:
+                alphas_list.append(aux["alphas"])
+            if aux["rgb"] is not None:
+                rgbs.append(aux["rgb"])
+            if aux["rendered"] is not None:
+                rendered_out[d] = aux["rendered"]
+        else:
+            if run_ref:
+                xr, _ = transformer_block_apply(
+                    blk, xr, context_ref, cfg, d, training=False
+                )
+                xr = jax.lax.stop_gradient(xr)
+            x, _ = transformer_block_apply(blk, x, context, cfg, d)
+
+    x = linear(p["proj_out"], x).reshape(b, h, w, c) + x_in
+    if run_ref:
+        xr = jax.lax.stop_gradient(
+            linear(p["proj_out"], xr).reshape(br, h, w, c) + xr_in
+        )
+    else:
+        xr = None
+    aux = dict(fg_masks=fg_masks, alphas=alphas_list, rgbs=rgbs,
+               rendered=rendered_out)
+    return x, xr, aux

@@ -1,0 +1,159 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_diffusion360_tpu.models.unet import (
+    UNetConfig,
+    build_unet_spec,
+    init_unet_params,
+    unet_apply,
+)
+from tests.test_cameras import random_cameras
+
+
+def test_sdxl_spec_topology():
+    """The SDXL config must produce 11 spatial transformers with the reference
+    channel layout (SURVEY.md §2.2; openaimodel.py prints ids 0-10)."""
+    cfg = UNetConfig()
+    inb, mid, outb, n_attn = build_unet_spec(cfg)
+    assert n_attn == 11
+    attn_specs = [
+        s for blk in inb + [mid] + outb for s in (blk if isinstance(blk, list) else [blk])
+        if s[0] == "attn"
+    ]
+    # encoder ids 0-3 at 640/1280, middle id 4 at 1280, decoder ids 5-10
+    chans = [s[1] for s in attn_specs]
+    depths = [s[2] for s in attn_specs]
+    assert chans == [640, 640, 1280, 1280, 1280, 1280, 1280, 1280, 640, 640, 640]
+    assert depths == [2, 2, 10, 10, 10, 10, 10, 10, 2, 2, 2]
+    # image-cross blocks: 6 of them -> 12 FeatureNeRF modules total
+    cross = [s for s in attn_specs if s[3] in cfg.image_cross_blocks]
+    n_nerf = sum(
+        len([d for d in range(s[2]) if d % cfg.poscontrol_interval == 0]) for s in cross
+    )
+    assert n_nerf == 12
+
+
+TINY = UNetConfig(
+    in_channels=4,
+    model_channels=64,
+    out_channels=4,
+    num_res_blocks=1,
+    attention_resolutions=(2,),
+    channel_mult=(1, 2),
+    transformer_depth=(1, 1),
+    context_dim=32,
+    adm_in_channels=16,
+    num_head_channels=32,
+    image_cross_blocks=(0,),
+    num_samples=4,
+    num_freqs=4,
+    rgb_predict=True,
+    use_prev_weights_imp_sample=True,
+    stratified=True,
+)
+
+
+@pytest.fixture(scope="module")
+def tiny_params():
+    return init_unet_params(jax.random.PRNGKey(0), TINY)
+
+
+def _tiny_inputs(b=1, n=2, res=16):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.normal(size=(b, res, res, 4)).astype(np.float32))
+    xr = jnp.asarray(rng.normal(size=(b, n, res, res, 4)).astype(np.float32))
+    t = jnp.full((b,), 500.0)
+    ctx = jnp.asarray(rng.normal(size=((1 + n) * b, 77, 32)).astype(np.float32))
+    y = jnp.asarray(rng.normal(size=((1 + n) * b, 16)).astype(np.float32))
+    cams = random_cameras((1 + n) * b, seed=1).reshape(b, 1 + n)
+    return x, xr, t, ctx, y, cams
+
+
+def test_unet_plain_forward(tiny_params):
+    x, _, t, ctx, y, _ = _tiny_inputs()
+    out, aux = unet_apply(tiny_params, TINY, x, t, ctx[:1], y[:1])
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    assert aux["fg_mask_list"] == [] and aux["rendered"] == {}
+
+
+def test_unet_dual_stream_forward(tiny_params):
+    x, xr, t, ctx, y, cams = _tiny_inputs()
+    out, aux = unet_apply(
+        tiny_params, TINY, x, t, ctx, y,
+        input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+        key=jax.random.PRNGKey(1), training=True,
+    )
+    assert out.shape == x.shape
+    assert np.isfinite(np.asarray(out)).all()
+    # tiny config: image_cross at attn_id 0 only, depth 1 -> 1 NeRF eval
+    assert len(aux["fg_mask_list"]) == 1
+    assert len(aux["rgb_list"]) == 1
+    assert aux["fg_mask_list"][0].shape == (1, 64, 1)  # 8x8 tokens at ds=2
+    assert aux["rgb_list"][0].shape == (1, 64, 3)
+    assert 0 in aux["rendered"] and 0 in aux["rendered"][0]
+
+
+def test_unet_nerf_cache_path(tiny_params):
+    """With a rendered-feature cache, the ref stream is skipped and the output
+    matches a recomputation using the same rendered features."""
+    x, xr, t, ctx, y, cams = _tiny_inputs()
+    key = jax.random.PRNGKey(1)
+    out1, aux = unet_apply(
+        tiny_params, TINY, x, t, ctx, y,
+        input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+        key=key, training=False,
+    )
+    caches = aux["rendered"]
+    out2, aux2 = unet_apply(
+        tiny_params, TINY, x, t, ctx, y, nerf_caches=caches,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
+
+
+def test_unet_gradients_flow_only_through_target_stream(tiny_params):
+    """Gradients w.r.t. pose params must be nonzero; gradients w.r.t. the
+    reference latents must be zero (the reference detaches the ref stream)."""
+    x, xr, t, ctx, y, cams = _tiny_inputs()
+
+    # zero-init layers (proj_out, out_conv, decoders) make the net an identity
+    # at init; perturb every zero leaf so gradients are observable
+    leaves, treedef = jax.tree_util.tree_flatten(tiny_params)
+    rng = np.random.default_rng(9)
+    leaves = [
+        l if float(jnp.abs(l).max()) > 0
+        else jnp.asarray(rng.normal(size=l.shape).astype(np.float32)) * 0.02
+        for l in leaves
+    ]
+    tiny_params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+    def loss_wrt_ref(xr_in):
+        out, _ = unet_apply(
+            tiny_params, TINY, x, t, ctx, y,
+            input_ref=xr_in, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+            key=jax.random.PRNGKey(2), training=True,
+        )
+        return jnp.sum(out**2)
+
+    g = jax.grad(loss_wrt_ref)(xr)
+    np.testing.assert_allclose(np.asarray(g), 0.0, atol=1e-8)
+
+    # pose params receive gradient
+    def loss_wrt_pose(pose_w):
+        p2 = jax.tree_util.tree_map(lambda a: a, tiny_params)
+        blk = p2["input_blocks"][3][1]["blocks"][0]
+        blk = dict(blk)
+        blk["pose_emb_layers"] = {"w": pose_w}
+        p2["input_blocks"][3][1]["blocks"][0] = blk
+        out, _ = unet_apply(
+            p2, TINY, x, t, ctx, y,
+            input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+            key=jax.random.PRNGKey(2), training=True,
+        )
+        return jnp.sum(out**2)
+
+    pose_w = tiny_params["input_blocks"][3][1]["blocks"][0]["pose_emb_layers"]["w"]
+    gp = jax.grad(loss_wrt_pose)(pose_w)
+    assert float(jnp.abs(gp).max()) > 0
