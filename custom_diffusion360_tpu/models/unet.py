@@ -323,7 +323,11 @@ def unet_apply(
             if stream.hr is not None:
                 stream.hr = jax.lax.stop_gradient(_resblock_apply(lp, stream.hr, embr))
         elif kind == "down":
-            stream.both(lambda t: conv2d(lp, t, stride=2))
+            # torch Downsample: conv stride 2, padding=1 both sides
+            # (openaimodel.py Downsample) — explicit pads for import parity
+            stream.both(
+                lambda t: conv2d(lp, t, stride=2, padding=((1, 1), (1, 1)))
+            )
         elif kind == "up":
             stream.both(lambda t: conv2d(lp, upsample_nearest_2x(t)))
         elif kind == "attn":

@@ -1,0 +1,219 @@
+"""SDXL VAE (first stage) — encoder, decoder, diagonal Gaussian.
+
+TPU-native redesign of the reference's AutoencoderKLInferenceWrapper
+(sgm/models/autoencoder.py:282-322) and the conv Encoder/Decoder nets
+(sgm/modules/diffusionmodules/model.py:487-748, attention :161-230,
+DiagonalGaussianDistribution in sgm/modules/distributions/distributions.py:
+24-102). NHWC layout; single-head attention at the bottleneck; latents
+scaled by 0.13025 by the engine (not here), matching scale_factor in
+train_co3d_concept.yaml:5.
+
+Config matches train_co3d_concept.yaml:104-115: ch=128, ch_mult (1,2,4,4),
+2 res blocks, no attn resolutions (bottleneck attn only), z_channels=4,
+double_z.
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import dot_product_attention
+from .nn import conv2d, conv2d_init, group_norm, group_norm_init, silu, upsample_nearest_2x
+
+
+@dataclasses.dataclass(frozen=True)
+class VAEConfig:
+    ch: int = 128
+    ch_mult: Tuple[int, ...] = (1, 2, 4, 4)
+    num_res_blocks: int = 2
+    in_channels: int = 3
+    out_ch: int = 3
+    z_channels: int = 4
+    double_z: bool = True
+    scale_factor: float = 0.13025
+
+
+# ---------------------------------------------------------------------------
+# blocks
+# ---------------------------------------------------------------------------
+
+
+def _gn(p, x):
+    # GroupNorm(32) for all real channel counts; degrades gracefully in tiny
+    # test configs
+    return group_norm(p, x, num_groups=min(32, x.shape[-1]))
+
+
+def _init_res(key, in_ch, out_ch):
+    ks = jax.random.split(key, 3)
+    p = {
+        "norm1": group_norm_init(in_ch),
+        "conv1": conv2d_init(ks[0], in_ch, out_ch, 3),
+        "norm2": group_norm_init(out_ch),
+        "conv2": conv2d_init(ks[1], out_ch, out_ch, 3),
+    }
+    if in_ch != out_ch:
+        p["nin_shortcut"] = conv2d_init(ks[2], in_ch, out_ch, 1)
+    return p
+
+
+def _res_apply(p, x):
+    h = conv2d(p["conv1"], silu(_gn(p["norm1"], x)))
+    h = conv2d(p["conv2"], silu(_gn(p["norm2"], h)))
+    if "nin_shortcut" in p:
+        x = conv2d(p["nin_shortcut"], x)
+    return x + h
+
+
+def _init_attn(key, ch):
+    ks = jax.random.split(key, 4)
+    return {
+        "norm": group_norm_init(ch),
+        "q": conv2d_init(ks[0], ch, ch, 1),
+        "k": conv2d_init(ks[1], ch, ch, 1),
+        "v": conv2d_init(ks[2], ch, ch, 1),
+        "proj_out": conv2d_init(ks[3], ch, ch, 1),
+    }
+
+
+def _attn_apply(p, x):
+    """Single-head bottleneck self-attention (model.py:161-201)."""
+    b, h, w, c = x.shape
+    hn = _gn(p["norm"], x)
+    q = conv2d(p["q"], hn).reshape(b, h * w, 1, c)
+    k = conv2d(p["k"], hn).reshape(b, h * w, 1, c)
+    v = conv2d(p["v"], hn).reshape(b, h * w, 1, c)
+    out = dot_product_attention(q, k, v).reshape(b, h, w, c)
+    return x + conv2d(p["proj_out"], out)
+
+
+def _downsample(p, x):
+    # torch pads (0,1,0,1) then stride-2 VALID conv (model.py:84-92)
+    x = jnp.pad(x, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    return jax.lax.conv_general_dilated(
+        x,
+        p["w"].astype(x.dtype),
+        window_strides=(2, 2),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + p["b"].astype(x.dtype)
+
+
+# ---------------------------------------------------------------------------
+# encoder / decoder
+# ---------------------------------------------------------------------------
+
+
+def init_vae_params(key, cfg: VAEConfig = VAEConfig()):
+    keys = iter(jax.random.split(key, 200))
+    ch = cfg.ch
+    n_lv = len(cfg.ch_mult)
+    enc: dict[str, Any] = {"conv_in": conv2d_init(next(keys), cfg.in_channels, ch, 3)}
+    in_mult = (1,) + tuple(cfg.ch_mult)
+    for i in range(n_lv):
+        block_in, block_out = ch * in_mult[i], ch * cfg.ch_mult[i]
+        blocks = []
+        for j in range(cfg.num_res_blocks):
+            blocks.append(_init_res(next(keys), block_in if j == 0 else block_out, block_out))
+        lvl = {"block": blocks}
+        if i != n_lv - 1:
+            lvl["downsample"] = conv2d_init(next(keys), block_out, block_out, 3)
+        enc[f"down_{i}"] = lvl
+    bi = ch * cfg.ch_mult[-1]
+    enc["mid"] = {
+        "block_1": _init_res(next(keys), bi, bi),
+        "attn_1": _init_attn(next(keys), bi),
+        "block_2": _init_res(next(keys), bi, bi),
+    }
+    zc = 2 * cfg.z_channels if cfg.double_z else cfg.z_channels
+    enc["norm_out"] = group_norm_init(bi)
+    enc["conv_out"] = conv2d_init(next(keys), bi, zc, 3)
+
+    dec: dict[str, Any] = {
+        "conv_in": conv2d_init(next(keys), cfg.z_channels, bi, 3),
+        "mid": {
+            "block_1": _init_res(next(keys), bi, bi),
+            "attn_1": _init_attn(next(keys), bi),
+            "block_2": _init_res(next(keys), bi, bi),
+        },
+    }
+    block_in = bi
+    for i in reversed(range(n_lv)):
+        block_out = ch * cfg.ch_mult[i]
+        blocks = []
+        for j in range(cfg.num_res_blocks + 1):
+            blocks.append(_init_res(next(keys), block_in if j == 0 else block_out, block_out))
+        block_in = block_out
+        lvl = {"block": blocks}
+        if i != 0:
+            lvl["upsample"] = conv2d_init(next(keys), block_out, block_out, 3)
+        dec[f"up_{i}"] = lvl
+    dec["norm_out"] = group_norm_init(block_in)
+    dec["conv_out"] = conv2d_init(next(keys), block_in, cfg.out_ch, 3)
+
+    # quant convs (autoencoder.py:210-214)
+    q = {
+        "quant_conv": conv2d_init(next(keys), zc, zc, 1),
+        "post_quant_conv": conv2d_init(next(keys), cfg.z_channels, cfg.z_channels, 1),
+    }
+    return {"encoder": enc, "decoder": dec, **q}
+
+
+def vae_encode(params, x, cfg: VAEConfig = VAEConfig()):
+    """x: (B, H, W, 3) in [-1, 1] -> moments (B, H/8, W/8, 2*z)."""
+    enc = params["encoder"]
+    h = conv2d(enc["conv_in"], x)
+    n_lv = len(cfg.ch_mult)
+    for i in range(n_lv):
+        lvl = enc[f"down_{i}"]
+        for bp in lvl["block"]:
+            h = _res_apply(bp, h)
+        if "downsample" in lvl:
+            h = _downsample(lvl["downsample"], h)
+    h = _res_apply(enc["mid"]["block_1"], h)
+    h = _attn_apply(enc["mid"]["attn_1"], h)
+    h = _res_apply(enc["mid"]["block_2"], h)
+    h = conv2d(enc["conv_out"], silu(_gn(enc["norm_out"], h)))
+    return conv2d(params["quant_conv"], h)
+
+
+def vae_decode(params, z, cfg: VAEConfig = VAEConfig()):
+    """z: (B, h, w, z_channels) -> (B, 8h, 8w, 3)."""
+    dec = params["decoder"]
+    z = conv2d(params["post_quant_conv"], z)
+    h = conv2d(dec["conv_in"], z)
+    h = _res_apply(dec["mid"]["block_1"], h)
+    h = _attn_apply(dec["mid"]["attn_1"], h)
+    h = _res_apply(dec["mid"]["block_2"], h)
+    for i in reversed(range(len(cfg.ch_mult))):
+        lvl = dec[f"up_{i}"]
+        for bp in lvl["block"]:
+            h = _res_apply(bp, h)
+        if "upsample" in lvl:
+            h = conv2d(lvl["upsample"], upsample_nearest_2x(h))
+    return conv2d(dec["conv_out"], silu(_gn(dec["norm_out"], h)))
+
+
+def diagonal_gaussian_sample(key, moments, sample: bool = True):
+    """DiagonalGaussianDistribution (distributions.py:24-62): moments =
+    [mean | logvar] along channels; logvar clamped to [-30, 20]."""
+    mean, logvar = jnp.split(moments, 2, axis=-1)
+    if not sample:
+        return mean
+    logvar = jnp.clip(logvar, -30.0, 20.0)
+    std = jnp.exp(0.5 * logvar)
+    return mean + std * jax.random.normal(key, mean.shape, mean.dtype)
+
+
+def encode_first_stage(params, x, key=None, cfg: VAEConfig = VAEConfig(), sample=True):
+    """encode + sample + scale (diffusion.py:214-219)."""
+    moments = vae_encode(params, x, cfg)
+    z = diagonal_gaussian_sample(key, moments, sample=sample and key is not None)
+    return z * cfg.scale_factor
+
+
+def decode_first_stage(params, z, cfg: VAEConfig = VAEConfig()):
+    return vae_decode(params, z / cfg.scale_factor, cfg)
