@@ -180,6 +180,10 @@ def raymarch(
       rays (B, N+1, hw, 6), ray_points (B, hw, S, 3), dists (B, hw, S),
       ray_points_uniform / dists_uniform (or None).
     """
+    if key is None:
+        # eval path is deterministic (no stratified jitter / coin flips); a
+        # fixed key keeps the split calls valid without consuming randomness
+        key = jax.random.PRNGKey(0)
     k_rays, k_len, k_coin = jax.random.split(key, 3)
     rays, _ = get_patch_rays(
         cams, resolution, stratified=cfg.stratified and training, key=k_rays

@@ -304,12 +304,16 @@ def spatial_transformer_apply(
     key=None,
     training: bool = False,
     nerf_cache=None,
+    ref_features=None,
 ):
     """x: (B, H, W, C) NHWC. xr: (B*Nref, H, W, C) reference stream or None.
 
     Returns (x, xr, aux) where aux = dict(fg_masks=[...], alphas=[...],
     rgbs=[...], rendered={d: feats}) collected from image-cross blocks.
     nerf_cache: dict {d: rendered feats} for the inference cache path.
+    ref_features: dict {d: (B, Nref, hw, C) tokens} — precomputed reference
+    buffers replacing the live reference stream (the delta-checkpoint
+    'references' path, reference sample.py:86-97).
     """
     b, h, w, c = x.shape
     x_in = x
@@ -328,7 +332,12 @@ def spatial_transformer_apply(
     fg_masks, alphas_list, rgbs, rendered_out = [], [], [], {}
     for d in range(cfg.depth):
         blk = p["blocks"][d]
-        if cfg.block_has_nerf(d) and (run_ref or (nerf_cache and d in nerf_cache)):
+        has_ref_src = (
+            run_ref
+            or (nerf_cache and d in nerf_cache)
+            or (ref_features and d in ref_features)
+        )
+        if cfg.block_has_nerf(d) and has_ref_src:
             if run_ref:
                 xr, _ = transformer_block_apply(
                     blk, xr, context_ref, cfg, d, training=False
@@ -337,6 +346,8 @@ def spatial_transformer_apply(
                 ctx_ref_tokens = jax.lax.stop_gradient(
                     xr.reshape(b, br // b, h * w, -1)
                 )
+            elif ref_features is not None and d in ref_features:
+                ctx_ref_tokens = ref_features[d]
             else:
                 ctx_ref_tokens = None
             bkey = None

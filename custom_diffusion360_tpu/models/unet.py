@@ -263,6 +263,7 @@ def unet_apply(
     key=None,
     training: bool = False,
     nerf_caches=None,
+    ref_features=None,
     compute_dtype=jnp.float32,
 ):
     """Denoising forward.
@@ -277,6 +278,9 @@ def unet_apply(
     sigmas_ref: (B,) reference c_noise values.
     nerf_caches: {attn_id: {depth: rendered}} inference cache; when given the
       reference stream is skipped entirely (sample.py:122-133 fast path).
+    ref_features: {attn_id: {depth: (B, Nref, hw, C)}} precomputed reference
+      buffers (delta-checkpoint 'references'); NeRF renders from these
+      instead of a live reference stream (sample.py:86-97).
 
     Returns (eps, aux) where aux has fg_mask_list, alphas_list, rgb_list,
     rendered ({attn_id: {d: feats}}).
@@ -334,6 +338,7 @@ def unet_apply(
             _, ch, depth, attn_id = spec
             tcfg = cfg.transformer_config(ch, depth, attn_id)
             cache = None if nerf_caches is None else nerf_caches.get(attn_id)
+            refs = None if ref_features is None else ref_features.get(attn_id)
             stream.h, stream.hr, aux = spatial_transformer_apply(
                 lp,
                 stream.h,
@@ -346,6 +351,7 @@ def unet_apply(
                 key=key,
                 training=training,
                 nerf_cache=cache,
+                ref_features=refs,
             )
             fg_mask_list.extend(aux["fg_masks"])
             alphas_list.extend(aux["alphas"])
