@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""Flagship benchmark: pose-conditioned SDXL sampling throughput on one chip.
+
+Workload = the reference's sample.py headline path (BASELINE.md): 50-step
+Euler-EDM, CFG x2 (VanillaCFGImgRef), 8 reference views from precomputed
+FeatureNeRF buffers, NeRF rendered at step 1 then cached, plus the VAE
+decode. Default 1024^2 output (128^2 latent; the reference samples at 512^2
+— the north-star workload is 1024^2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver-supplied north-star of
+2x A100 images/min (BASELINE.json): we take 5 images/min as the A100
+estimate for this pipeline (no number is published by the reference;
+README "Evaluation: to be released"), so baseline = 10 images/min.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_X2_IMAGES_PER_MIN = 10.0
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--latent", type=int, default=128, help="latent side (128 = 1024^2 image)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--nref", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=10, help="timed step iterations")
+    ap.add_argument("--skip-vae", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custom_diffusion360_tpu.diffusion import (
+        Denoiser,
+        DenoiserConfig,
+        legacy_ddpm_sigmas,
+        vanilla_cfg_img_ref,
+    )
+    from custom_diffusion360_tpu.diffusion.sampling import to_d
+    from custom_diffusion360_tpu.io.delta import iter_pose_blocks
+    from custom_diffusion360_tpu.models.unet import (
+        UNetConfig,
+        attn_block_meta,
+        init_unet_params,
+        unet_apply,
+    )
+    from custom_diffusion360_tpu.models.vae import (
+        VAEConfig,
+        decode_first_stage,
+        init_vae_params,
+    )
+    from custom_diffusion360_tpu.geometry.cameras import Cameras
+
+    dtype = jnp.dtype(args.dtype)
+    b, n_ref, latent = args.batch, args.nref, args.latent
+    cfg = UNetConfig()
+    key = jax.random.PRNGKey(0)
+
+    # init on host, ship as bf16 (f32 SDXL params + casts would blow 16 GB HBM)
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        params = init_unet_params(key, cfg)
+    dev = jax.devices()[0]
+    params = jax.tree.map(lambda x: jax.device_put(x.astype(dtype), dev), params)
+
+    meta = attn_block_meta(cfg)
+    rng = np.random.default_rng(0)
+    refs = {}
+    for _, _, attn_id, d in iter_pose_blocks(cfg):
+        ds, ch, _ = meta[attn_id]
+        hw = (latent // ds) ** 2
+        refs.setdefault(attn_id, {})[d] = jnp.asarray(
+            rng.normal(size=(2 * b, n_ref, hw, ch)).astype(np.float32) * 0.05
+        )
+
+    def make_cams(n, seed):
+        r = np.random.default_rng(seed)
+        thetas = r.uniform(0, 2 * np.pi, n)
+        Rm = np.zeros((n, 3, 3), np.float32)
+        for i, t in enumerate(thetas):
+            c, s = np.cos(t), np.sin(t)
+            Rm[i] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T = np.tile(np.array([0, 0, 2.7], np.float32), (n, 1))
+        return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
+
+    cams = make_cams((1 + n_ref) * 2 * b, 1).reshape(2 * b, 1 + n_ref)
+
+    guider = vanilla_cfg_img_ref(scale=7.5)
+    den = Denoiser(DenoiserConfig())
+    sigmas = legacy_ddpm_sigmas(args.steps)
+    ctx = jnp.zeros((b, 77, 2048), dtype)
+    y = jnp.zeros((b, 2816), dtype)
+    cond = {"crossattn": ctx, "vector": y}
+    uc = {"crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
+
+    def net_factory(nerf_caches, use_refs):
+        def network(xs, t, c, **kw):
+            return unet_apply(
+                params, cfg, xs, t, c["crossattn"], c["vector"],
+                cams=cams,
+                ref_features=refs if use_refs else None,
+                nerf_caches=nerf_caches,
+                compute_dtype=dtype,
+            )
+        return network
+
+    def render_step(x, sigma):
+        s = jnp.full((b,), sigma, jnp.float32)
+        xb, sb, cb = guider.prepare(x, s, cond, uc)
+        denoised, aux = den(net_factory(None, True), xb, sb, cb)
+        return guider.combine(denoised, s), aux["rendered"]
+
+    def make_cached_step(caches):
+        def step(x, sigma, next_sigma):
+            s = jnp.full((b,), sigma, jnp.float32)
+            xb, sb, cb = guider.prepare(x, s, cond, uc)
+            denoised, _ = den(net_factory(caches, False), xb, sb, cb)
+            denoised = guider.combine(denoised, s)
+            d = to_d(x, s, denoised)
+            return x + (next_sigma - sigma) * d
+        return step
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, latent, latent, 4)) * float(
+        jnp.sqrt(1 + sigmas[0] ** 2)
+    )
+
+    # first (render) step
+    render_jit = jax.jit(render_step)
+    t0 = time.time()
+    denoised, caches = jax.block_until_ready(render_jit(x, sigmas[0]))
+    compile_first = time.time() - t0
+    t0 = time.time()
+    denoised, caches = jax.block_until_ready(render_jit(x, sigmas[0]))
+    t_first = time.time() - t0
+    d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
+    x = x + (sigmas[1] - sigmas[0]) * d
+
+    step_jit = jax.jit(make_cached_step(caches))
+    t0 = time.time()
+    x1 = jax.block_until_ready(step_jit(x, sigmas[1], sigmas[2]))
+    compile_step = time.time() - t0
+    t0 = time.time()
+    for i in range(args.iters):
+        x1 = step_jit(x1, sigmas[1], sigmas[2])
+    jax.block_until_ready(x1)
+    t_step = (time.time() - t0) / args.iters
+
+    t_vae = 0.0
+    if not args.skip_vae:
+        vae_cfg = VAEConfig()
+        vparams = jax.tree.map(
+            lambda a: a.astype(dtype), init_vae_params(jax.random.PRNGKey(2), vae_cfg)
+        )
+        dec = jax.jit(lambda z: decode_first_stage(vparams, z.astype(dtype), vae_cfg))
+        img = jax.block_until_ready(dec(x1))  # compile
+        t0 = time.time()
+        img = jax.block_until_ready(dec(x1))
+        t_vae = time.time() - t0
+
+    total = t_first + (args.steps - 1) * t_step + t_vae
+    images_per_min = 60.0 * b / total
+    result = {
+        "metric": f"images/min 1-chip SDXL {8*latent}^2 {args.steps}-step pose-conditioned sampling (CFGx2, {n_ref} ref views, NeRF render-once)",
+        "value": round(images_per_min, 3),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / A100_X2_IMAGES_PER_MIN, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# t_first={t_first*1e3:.0f}ms t_step={t_step*1e3:.1f}ms t_vae={t_vae*1e3:.0f}ms "
+        f"compile_first={compile_first:.0f}s compile_step={compile_step:.0f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,249 @@
+"""Pose-conditioned sampling CLI.
+
+Equivalent of the reference's sample.py:201-406: load base SDXL + delta
+checkpoint + cameras, pick evenly spaced reference views, build per-target-
+pose batches (optionally a camera-interpolation sweep), run 50-step
+Euler-EDM with dual CFG, save PNGs.
+
+    python -m custom_diffusion360_tpu.cli.sample \\
+        --base_ckpt sd_xl_base_1.0.safetensors --delta_ckpt delta.npz \\
+        --cameras cameras.npz --prompt "photo of a <new1> car" \\
+        --vocab_dir tokenizer_files/ --output_dir out/
+
+--smoke runs the whole path on a tiny random-init config (no weights needed).
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--base_ckpt", default=None, help=".safetensors SDXL base")
+    p.add_argument("--delta_ckpt", default=None, help="delta .npz or reference .ckpt")
+    p.add_argument("--cameras", default=None, help="cameras .npz (train/val splits)")
+    p.add_argument("--prompt", default="photo of a <new1> car")
+    p.add_argument("--negative_prompt", default="")
+    p.add_argument("--scale", type=float, default=7.5)
+    p.add_argument("--scale_im", type=float, default=3.5,
+                   help=">0 selects the x3 image+text guider (sample.py:228-240)")
+    p.add_argument("--num_steps", type=int, default=50)
+    p.add_argument("--num_ref", type=int, default=8)
+    p.add_argument("--num_images", type=int, default=4, help="target poses to sample")
+    p.add_argument("--resolution", type=int, default=512)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--output_dir", default="outputs")
+    p.add_argument("--vocab_dir", default=None,
+                   help="dir with vocab.json+merges.txt (HF) and/or bpe_simple_vocab_16e6.txt.gz")
+    p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--translate", choices=["x", "y", "z", "focal"], default=None)
+    p.add_argument("--interp_start", type=float, default=-0.3)
+    p.add_argument("--interp_end", type=float, default=0.3)
+    p.add_argument("--interp_step", type=float, default=0.1)
+    p.add_argument("--override", action="append", default=[],
+                   help="config dotlist override, repeatable")
+    p.add_argument("--smoke", action="store_true")
+    return p
+
+
+def make_tokenizers(vocab_dir, context_length: int = 77):
+    from ..data.tokenizer import ClipTokenizer, make_test_tokenizer
+
+    if vocab_dir is None:
+        tok = make_test_tokenizer(
+            ["photo", "of", "a", "car", "chair", "teddybear"],
+            additional_special_tokens=("<new1>",),
+            context_length=context_length,
+        )
+        return tok, tok
+    hf_vocab = os.path.join(vocab_dir, "vocab.json")
+    hf_merges = os.path.join(vocab_dir, "merges.txt")
+    oc_merges = os.path.join(vocab_dir, "bpe_simple_vocab_16e6.txt.gz")
+    tok_clip = (
+        ClipTokenizer.from_hf_files(
+            hf_vocab, hf_merges, additional_special_tokens=("<new1>",),
+            context_length=context_length,
+        )
+        if os.path.exists(hf_vocab)
+        else ClipTokenizer.from_merges(
+            oc_merges, additional_special_tokens=("<new1>",), pad_style="hf",
+            context_length=context_length,
+        )
+    )
+    tok_open = ClipTokenizer.from_merges(
+        oc_merges, additional_special_tokens=("<new1>",),
+        context_length=context_length,
+    ) if os.path.exists(oc_merges) else tok_clip
+    return tok_clip, tok_open
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..diffusion import scheduled_cfg_img_text_ref, vanilla_cfg_img_ref
+    from ..engine import Engine, EngineConfig
+    from ..geometry.cameras import (
+        interpolate_camera_focal,
+        interpolate_camera_translation,
+        stack_cameras,
+    )
+    from ..io.cameras_io import load_cameras_npz
+    from ..io.delta import apply_delta_state_dict, load_delta_npz, load_delta_torch
+    from ..models.conditioner import get_unconditional_conditioning
+    from ..utils.config import apply_overrides
+
+    cfg = EngineConfig(compute_dtype=args.dtype)
+    if args.smoke:
+        from tests.test_engine import TINY_CFG
+
+        cfg = dataclasses.replace(TINY_CFG, compute_dtype="float32")
+    cfg = apply_overrides(cfg, args.override)
+    eng = Engine(cfg)
+
+    key = jax.random.PRNGKey(args.seed)
+
+    # ---- params ----
+    if args.base_ckpt:
+        from ..io.torch_convert import load_sdxl_checkpoint
+
+        params = load_sdxl_checkpoint(
+            args.base_ckpt, cfg.unet, cfg.vae, cfg.conditioner.clip_l,
+            cfg.conditioner.open_clip,
+        )
+        params = {
+            "unet": params["unet"], "vae": params["vae"],
+            "conditioner": params["conditioner"],
+        }
+    else:
+        params = eng.init_params(key)
+
+    references = None
+    if args.delta_ckpt:
+        delta = (
+            load_delta_npz(args.delta_ckpt)
+            if args.delta_ckpt.endswith(".npz")
+            else load_delta_torch(args.delta_ckpt)
+        )
+        params, references = apply_delta_state_dict(params, delta, cfg.unet)
+
+    dtype = jnp.dtype(args.dtype)
+    params = jax.tree.map(lambda x: x.astype(dtype) if x.dtype == jnp.float32 else x, params)
+
+    # ---- cameras ----
+    if args.cameras:
+        splits = load_cameras_npz(args.cameras)
+        cams_train, cams_val = splits["train"], splits["val"]
+    else:  # smoke: synthetic ring
+        from ..geometry.cameras import Cameras
+
+        def ring(n, z=2.7):
+            th = np.linspace(0, 2 * np.pi, n, endpoint=False)
+            R = np.stack(
+                [np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                           [-np.sin(t), 0, np.cos(t)]], np.float32) for t in th]
+            )
+            T = np.tile(np.array([0, 0, z], np.float32), (n, 1))
+            return Cameras.create(R, T, 2.0, 0.0)
+
+        cams_train, cams_val = ring(20), ring(7)
+
+    n_train = cams_train.batch_shape[0]
+    num_ref = min(args.num_ref, n_train)
+    max_diff = n_train / num_ref
+    choices = [int(x) for x in np.linspace(0, n_train - max_diff, num_ref)]
+    ref_cams = cams_train[np.asarray(choices)]
+
+    # ---- conditioning ----
+    tok_clip, tok_open = make_tokenizers(
+        args.vocab_dir, context_length=cfg.conditioner.clip_l.context_length
+    )
+    b = 1
+
+    def cond_batch(prompt):
+        return {
+            "tokens_clip": jnp.asarray(tok_clip([prompt])),
+            "tokens_open": jnp.asarray(tok_open([prompt])),
+            "original_size": jnp.full((b, 2), float(args.resolution)),
+            "crop_coords": jnp.zeros((b, 2)),
+            "target_size": jnp.full((b, 2), float(args.resolution)),
+        }
+
+    c, uc = get_unconditional_conditioning(
+        params["conditioner"],
+        cond_batch(args.prompt),
+        cond_batch(args.negative_prompt),
+        cfg.conditioner,
+        force_uc_zero_txt=bool(args.prompt),
+        ref=False,
+    )
+    c = jax.tree.map(lambda x: x.astype(dtype), c)
+    uc = jax.tree.map(lambda x: x.astype(dtype), uc)
+
+    guider = (
+        scheduled_cfg_img_text_ref(scale=args.scale, scale_im=args.scale_im)
+        if args.scale_im > 0
+        else vanilla_cfg_img_ref(scale=args.scale)
+    )
+
+    # ---- target poses ----
+    rng = np.random.default_rng(args.seed)
+    n_val = cams_val.batch_shape[0]
+    pose_ids = rng.choice(n_val, min(args.num_images, n_val), replace=False)
+
+    latent = args.resolution // 8
+    os.makedirs(args.output_dir, exist_ok=True)
+    from PIL import Image
+
+    for count, pid in enumerate(pose_ids):
+        target = cams_val[int(pid) : int(pid) + 1]
+        targets = [target]
+        if args.translate:
+            steps = np.arange(args.interp_start, args.interp_end, args.interp_step)
+            if args.translate == "focal":
+                targets = [
+                    interpolate_camera_focal(target, float(s)) for s in steps
+                ]
+            else:
+                axis = {"x": 0, "y": 1, "z": 2}[args.translate]
+                targets = [
+                    interpolate_camera_translation(target, axis, float(s))
+                    for s in steps
+                ]
+        for j, tgt in enumerate(targets):
+            # cams: [target | refs], replicated per CFG copy (sample.py:166-177)
+            cams_one = stack_cameras([tgt[0]] + [ref_cams[i] for i in range(num_ref)])
+            cams = jax.tree.map(
+                lambda x: jnp.broadcast_to(
+                    x[None], (guider.num_copies * b,) + x.shape
+                ),
+                cams_one,
+            )
+            t0 = time.time()
+            z = eng.sample(
+                params, c, uc, guider,
+                jax.random.fold_in(key, count * 100 + j),
+                shape=(b, latent, latent, 4),
+                cams=cams,
+                references=references,
+                # buffer rows follow train-frame order -> same choices
+                choices=np.asarray(choices) if references is not None else None,
+                num_steps=args.num_steps,
+            )
+            img = eng.decode_first_stage(params, z.astype(dtype))
+            img = np.asarray(
+                jnp.clip((img.astype(jnp.float32) + 1) * 127.5, 0, 255)
+            ).astype(np.uint8)[0]
+            out_path = os.path.join(args.output_dir, f"sample_{count:02d}_{j:02d}.png")
+            Image.fromarray(img).save(out_path)
+            print(f"saved {out_path} ({time.time()-t0:.1f}s)")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,320 @@
+"""Training CLI.
+
+Equivalent of the reference's main.py: assemble engine + data + trainer, run
+the fine-tuning loop (pose params + V* token rows only), log step metrics,
+checkpoint periodically, and at the end run the reference-feature capture
+pass and export the delta checkpoint + cameras file — everything sample.py
+needs.
+
+    python -m custom_diffusion360_tpu.cli.train \\
+        --data_root data/co3d --category car --base_ckpt sd_xl_base_1.0.safetensors \\
+        --output_dir runs/car0 --max_steps 1610 --batch_size 4
+
+--smoke runs a tiny random-init end-to-end loop on synthetic data (no
+dataset or weights needed) — the CI/driver path.
+"""
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+
+def build_parser():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--data_root", default="data/co3d")
+    p.add_argument("--category", default="car")
+    p.add_argument("--single_id", type=int, default=0)
+    p.add_argument("--base_ckpt", default=None)
+    p.add_argument("--output_dir", default="runs/run0")
+    p.add_argument("--name", default="")
+    p.add_argument("--max_steps", type=int, default=1610)
+    p.add_argument("--batch_size", type=int, default=1, help="per-device batch")
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--scale_lr", action="store_true",
+                   help="scale lr by devices*batch (main.py:1040-1050)")
+    p.add_argument("--trainkeys", default="pose", choices=["pose", "poseattn", "all"])
+    p.add_argument("--img_size", type=int, default=512)
+    p.add_argument("--num_images", type=int, default=5)
+    p.add_argument("--accumulate", type=int, default=1)
+    p.add_argument("--ckpt_every", type=int, default=1600)
+    p.add_argument("--log_every", type=int, default=10)
+    p.add_argument("--seed", type=int, default=23)
+    p.add_argument("--vocab_dir", default=None)
+    p.add_argument("--modifier_token", default="<new1>")
+    p.add_argument("--reg_dir", default=None)
+    p.add_argument("--override", action="append", default=[])
+    p.add_argument("--smoke", action="store_true")
+    p.add_argument("--smoke_steps", type=int, default=2)
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    import jax
+    import jax.numpy as jnp
+
+    from ..engine import Engine, EngineConfig
+    from ..io.cameras_io import save_cameras_npz
+    from ..io.delta import extract_delta, save_delta_npz
+    from ..parallel import make_mesh, replicate, shard_batch
+    from ..train import TrainConfig, Trainer, capture_references
+    from ..utils.config import apply_overrides, config_to_dict
+    from .sample import make_tokenizers
+
+    os.makedirs(args.output_dir, exist_ok=True)
+
+    cfg = EngineConfig()
+    if args.smoke:
+        from tests.test_engine import TINY_CFG
+
+        cfg = TINY_CFG
+        args.max_steps = args.smoke_steps
+        args.img_size = 64
+        args.num_images = 3
+        args.ckpt_every = max(args.ckpt_every, 10**6)
+    cfg = apply_overrides(cfg, args.override)
+    eng = Engine(cfg)
+
+    n_dev = jax.device_count()
+    lr = args.lr
+    if args.scale_lr:
+        lr = lr * args.accumulate * n_dev * args.batch_size
+    trainer = Trainer(
+        eng,
+        TrainConfig(
+            lr=lr,
+            trainkeys=args.trainkeys,
+            accumulate_grad_batches=args.accumulate,
+        ),
+    )
+
+    key = jax.random.PRNGKey(args.seed)
+    if args.base_ckpt:
+        from ..io.torch_convert import load_sdxl_checkpoint
+
+        params = load_sdxl_checkpoint(
+            args.base_ckpt, cfg.unet, cfg.vae, cfg.conditioner.clip_l,
+            cfg.conditioner.open_clip,
+        )
+        # seed V* rows from token 42170 (modules.py:428-431)
+        from ..models.clip import init_modifier_rows
+
+        params["conditioner"]["clip_l"] = init_modifier_rows(
+            params["conditioner"]["clip_l"]
+        )
+        params["conditioner"]["open_clip"] = init_modifier_rows(
+            params["conditioner"]["open_clip"]
+        )
+    else:
+        params = eng.init_params(key)
+
+    # ---- data ----
+    tok_clip, tok_open = make_tokenizers(
+        args.vocab_dir, context_length=cfg.conditioner.clip_l.context_length
+    )
+    if args.smoke:
+        batches = _synthetic_batches(args, cfg, tok_clip, tok_open)
+        train_iter = iter(batches)
+        capture_data = None
+    else:
+        from ..data.co3d import Co3dConfig, Co3dDataset, DataLoader
+
+        dcfg = Co3dConfig(
+            root=args.data_root,
+            category=args.category,
+            single_id=args.single_id,
+            img_size=args.img_size,
+            num_images=args.num_images,
+            modifier_token=args.modifier_token,
+            addreg=args.reg_dir is not None,
+            reg_dir=args.reg_dir,
+        )
+        ds = Co3dDataset(dcfg)
+        loader = DataLoader(
+            ds, n_dev * args.batch_size, tok_clip, tok_open, seed=args.seed
+        )
+        capture_data = (ds, dcfg)
+
+        def cycle():
+            while True:
+                yield from loader
+
+        train_iter = cycle()
+
+    mesh = make_mesh() if n_dev > 1 else None
+    state = trainer.init_state(params)
+    if mesh is not None:
+        state = state._replace(
+            params=replicate(state.params, mesh),
+            opt_state=jax.tree.map(
+                lambda x: replicate(x, mesh) if hasattr(x, "shape") else x,
+                state.opt_state,
+            ),
+        )
+
+    with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+        json.dump(config_to_dict(cfg), f, indent=2, default=str)
+
+    step_fn = jax.jit(trainer.train_step)
+    t_start = time.time()
+    images_per_step = n_dev * args.batch_size
+    for step in range(args.max_steps):
+        batch = next(train_iter)
+        batch.pop("txt", None), batch.pop("txt_ref", None)
+        if mesh is not None:
+            batch = shard_batch(batch, mesh)
+        key, sub = jax.random.split(key)
+        t0 = time.time()
+        state, metrics = step_fn(state, batch, sub)
+        if step % args.log_every == 0 or step == args.max_steps - 1:
+            metrics = {k: float(v) for k, v in metrics.items()}
+            dt = time.time() - t0
+            print(
+                f"step {step}: loss={metrics.get('loss_total', 0):.4f} "
+                + " ".join(
+                    f"{k}={v:.4f}" for k, v in metrics.items() if k != "loss_total"
+                )
+                + f" ({images_per_step / max(dt, 1e-9):.2f} img/s)"
+            )
+        if args.ckpt_every and step and step % args.ckpt_every == 0:
+            _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
+
+    print(f"training done in {time.time()-t_start:.0f}s")
+
+    # ---- capture + delta export ----
+    references = None
+    if capture_data is not None:
+        references = _run_capture(
+            args, eng, state.params, capture_data, tok_clip, tok_open, key
+        )
+    _save_delta(args, eng, state.params, references, cfg, tag="last")
+    print(f"delta checkpoint written to {args.output_dir}")
+
+
+def _save_delta(args, eng, params, references, cfg, tag):
+    from ..io.delta import extract_delta, save_delta_npz
+
+    host_params = __import__("jax").tree.map(lambda x: x, params)
+    delta = extract_delta(host_params, references, cfg.unet)
+    save_delta_npz(os.path.join(args.output_dir, f"delta_{tag}.npz"), delta)
+
+
+def _run_capture(args, eng, params, capture_data, tok_clip, tok_open, key):
+    """Forward the onlyref set through the ref stream, collect per-block
+    buffers + export cameras (SURVEY §3.4)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+
+    from ..data.co3d import Co3dConfig, Co3dDataset
+    from ..geometry.cameras import stack_cameras
+    from ..io.cameras_io import save_cameras_npz
+    from ..train import capture_references
+
+    ds, dcfg = capture_data
+    cap_cfg = dc.replace(
+        dcfg, num_images=2, repeat=1, addlen=True, onlyref=True,
+        drop_ratio=0.0, drop_txt=0.0,
+    )
+    cap_ds = Co3dDataset(cap_cfg)
+    rng = np.random.default_rng(0)
+
+    imgs, cams = [], []
+    n_items = len(cap_ds) - 1
+    for i in range(n_items):
+        it = cap_ds.__getitem__(i, rng=rng, validation=True)
+        imgs.append(np.asarray(it["image_ref"][0]))
+        cams.append(it["cams"][1])  # the captured frame's camera
+    images_ref = jnp.asarray(np.stack(imgs))
+
+    it0 = cap_ds.__getitem__(0, rng=rng, validation=True)
+    target_cam = it0["cams"][0]
+    cam_batch = stack_cameras([target_cam] + cams + [cams[-1]]).reshape(
+        1, n_items + 2
+    )
+
+    prompt = it0["txt"]
+    n_rows = 1 + n_items + 1
+    from ..models.conditioner import apply_conditioner
+
+    cond = apply_conditioner(
+        params["conditioner"],
+        {
+            "tokens_clip": jnp.asarray(tok_clip([prompt] * n_rows)),
+            "tokens_open": jnp.asarray(tok_open([prompt] * n_rows)),
+            "original_size": jnp.full((n_rows, 2), float(args.img_size)),
+            "crop_coords": jnp.zeros((n_rows, 2)),
+            "target_size": jnp.full((n_rows, 2), float(args.img_size)),
+        },
+        eng.cfg.conditioner,
+        ref=False,
+    )
+    references = capture_references(
+        eng, params, images_ref, cam_batch, cond, key
+    )
+
+    # cameras export (camera.bin equivalent, main.py:1025-1029)
+    train_cams = stack_cameras(cams)
+    save_cameras_npz(
+        os.path.join(args.output_dir, "cameras.npz"),
+        train=train_cams,
+        val=train_cams,
+    )
+    return references
+
+
+def _synthetic_batches(args, cfg, tok_clip, tok_open):
+    """Random batches shaped like the CO3D contract (smoke mode)."""
+    import jax.numpy as jnp
+
+    from ..geometry.cameras import Cameras
+    from ..geometry import stack_cameras
+
+    rng = np.random.default_rng(0)
+    b = args.batch_size * max(__import__("jax").device_count(), 1)
+    n = args.num_images - 1
+    s = args.img_size
+    out = []
+    prompt = f"photo of a {args.modifier_token} {args.category}"
+    for _ in range(args.max_steps):
+        th = rng.uniform(0, 2 * np.pi, (b * (1 + n),))
+        R = np.stack(
+            [np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                       [-np.sin(t), 0, np.cos(t)]], np.float32) for t in th]
+        )
+        cams = Cameras.create(
+            R, np.tile(np.array([0, 0, 2.7], np.float32), (b * (1 + n), 1)),
+            2.0, 0.0,
+        ).reshape(b, 1 + n)
+        out.append(
+            {
+                "image": jnp.asarray(rng.normal(size=(b, s, s, 3)).astype(np.float32) * 0.3),
+                "image_ref": jnp.asarray(rng.normal(size=(b, n, s, s, 3)).astype(np.float32) * 0.3),
+                "mask": jnp.ones((b, s // 8, s // 8, 1)),
+                "mask_ref": jnp.ones((b, n, s // 8, s // 8, 1)),
+                "opacity": jnp.ones((b, s // 8, s // 8, 1)),
+                "drop_im": jnp.ones((b,)),
+                "cams": cams,
+                "tokens_clip": jnp.asarray(tok_clip([prompt] * b) % cfg.conditioner.clip_l.vocab_size),
+                "tokens_open": jnp.asarray(tok_open([prompt] * b) % cfg.conditioner.open_clip.vocab_size),
+                "tokens_clip_ref": jnp.asarray(tok_clip([prompt] * (b * n)) % cfg.conditioner.clip_l.vocab_size),
+                "tokens_open_ref": jnp.asarray(tok_open([prompt] * (b * n)) % cfg.conditioner.open_clip.vocab_size),
+                "original_size": jnp.full((b, 2), float(s)),
+                "crop_coords": jnp.zeros((b, 2)),
+                "target_size": jnp.full((b, 2), float(s)),
+                "original_size_ref": jnp.full((b * n, 2), float(s)),
+                "crop_coords_ref": jnp.zeros((b * n, 2)),
+                "target_size_ref": jnp.full((b * n, 2), float(s)),
+            }
+        )
+    return out
+
+
+if __name__ == "__main__":
+    main()

@@ -137,7 +137,8 @@ def clip_text_apply(params, tokens, cfg: ClipTextConfig):
     # flattened 1-D gather: multi-dim index gathers compile pathologically
     # slowly on the TPU backend (minutes vs sub-second)
     b, t = tokens.shape
-    x = jnp.take(table, tokens.reshape(-1), axis=0).reshape(b, t, -1)
+    # mode="clip": out-of-range ids clamp (jnp.take's default fills NaN)
+    x = jnp.take(table, tokens.reshape(-1), axis=0, mode="clip").reshape(b, t, -1)
     x = x + params["positional_embedding"][None, :t]
 
     mask = jnp.triu(jnp.full((t, t), -jnp.inf, jnp.float32), k=1)[None, None]
@@ -156,6 +157,6 @@ def clip_text_apply(params, tokens, cfg: ClipTextConfig):
         # eot = highest token id per row (modules.py:748-752); flat 1-D gather
         eot = jnp.argmax(tokens, axis=-1)
         flat = final.reshape(b * t, -1)
-        rows = jnp.take(flat, eot + jnp.arange(b) * t, axis=0)
+        rows = jnp.take(flat, eot + jnp.arange(b) * t, axis=0, mode="clip")
         pooled = rows @ params["text_projection"]["w"]
     return {"last": last, "penultimate": penultimate, "final": final, "pooled": pooled}

@@ -330,6 +330,7 @@ def spatial_transformer_apply(
 
     prev_weights = None
     fg_masks, alphas_list, rgbs, rendered_out = [], [], [], {}
+    ref_tokens_out = {}
     for d in range(cfg.depth):
         blk = p["blocks"][d]
         has_ref_src = (
@@ -346,6 +347,7 @@ def spatial_transformer_apply(
                 ctx_ref_tokens = jax.lax.stop_gradient(
                     xr.reshape(b, br // b, h * w, -1)
                 )
+                ref_tokens_out[d] = ctx_ref_tokens
             elif ref_features is not None and d in ref_features:
                 ctx_ref_tokens = ref_features[d]
             else:
@@ -392,5 +394,5 @@ def spatial_transformer_apply(
     else:
         xr = None
     aux = dict(fg_masks=fg_masks, alphas=alphas_list, rgbs=rgbs,
-               rendered=rendered_out)
+               rendered=rendered_out, ref_tokens=ref_tokens_out)
     return x, xr, aux

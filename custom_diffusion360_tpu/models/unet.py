@@ -155,6 +155,34 @@ def build_unet_spec(cfg: UNetConfig):
     return input_blocks, middle_block, output_blocks, attn_id
 
 
+def attn_block_meta(cfg: UNetConfig):
+    """{attn_id: (ds, channels, depth)} — the token-grid downsample factor and
+    width of every SpatialTransformer (for sizing reference buffers)."""
+    meta = {}
+    ch = cfg.model_channels
+    ds = 1
+    attn_id = 0
+    for level, mult in enumerate(cfg.channel_mult):
+        for _ in range(cfg.num_res_blocks):
+            ch = mult * cfg.model_channels
+            if ds in cfg.attention_resolutions:
+                meta[attn_id] = (ds, ch, cfg.transformer_depth[level])
+                attn_id += 1
+        if level != len(cfg.channel_mult) - 1:
+            ds *= 2
+    meta[attn_id] = (ds, ch, cfg.transformer_depth[-1])
+    attn_id += 1
+    for level, mult in list(enumerate(cfg.channel_mult))[::-1]:
+        for i in range(cfg.num_res_blocks + 1):
+            ch = cfg.model_channels * mult
+            if ds in cfg.attention_resolutions:
+                meta[attn_id] = (ds, ch, cfg.transformer_depth[level])
+                attn_id += 1
+            if level and i == cfg.num_res_blocks:
+                ds //= 2
+    return meta
+
+
 # ---------------------------------------------------------------------------
 # layer init/apply
 # ---------------------------------------------------------------------------
@@ -317,6 +345,7 @@ def unet_apply(
 
     fg_mask_list, alphas_list, rgb_list = [], [], []
     rendered = {}
+    ref_tokens = {}
 
     def apply_layer(lp, spec, stream, key):
         kind = spec[0]
@@ -358,6 +387,8 @@ def unet_apply(
             rgb_list.extend(aux["rgbs"])
             if aux["rendered"]:
                 rendered[attn_id] = aux["rendered"]
+            if aux["ref_tokens"]:
+                ref_tokens[attn_id] = aux["ref_tokens"]
         else:
             raise ValueError(kind)
 
@@ -395,5 +426,6 @@ def unet_apply(
         alphas_list=alphas_list,
         rgb_list=rgb_list,
         rendered=rendered,
+        ref_tokens=ref_tokens,
     )
     return out, aux

@@ -1,0 +1,14 @@
+"""Device-mesh parallelism: sharding layout + collectives.
+
+Replaces the reference's Lightning DDPStrategy over NCCL (main.py:901-919)
+with a single jitted SPMD program over a jax.sharding.Mesh: params are
+replicated, the batch is sharded over the 'data' axis, and XLA inserts the
+gradient all-reduce over ICI.
+"""
+from .mesh import (
+    make_mesh,
+    batch_sharding,
+    replicated_sharding,
+    shard_batch,
+    replicate,
+)
