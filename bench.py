@@ -24,7 +24,24 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 A100_X2_IMAGES_PER_MIN = 10.0
 
 
+def _enable_compile_cache():
+    """Persistent compile cache: first bench run on a machine pays the big
+    XLA compile; later runs (and driver re-runs) restore in seconds."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
 def main():
+    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--latent", type=int, default=128, help="latent side (128 = 1024^2 image)")
     ap.add_argument("--steps", type=int, default=50)

@@ -48,6 +48,12 @@ def build_parser():
     p.add_argument("--modifier_token", default="<new1>")
     p.add_argument("--reg_dir", default=None)
     p.add_argument("--override", action="append", default=[])
+    p.add_argument("--use_ema", action="store_true")
+    p.add_argument("--ema_decay", type=float, default=0.9999)
+    p.add_argument("--resume", action="store_true",
+                   help="resume from the latest orbax checkpoint in output_dir")
+    p.add_argument("--full_ckpt_every", type=int, default=0,
+                   help="orbax full-state checkpoint interval (0 = final only)")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--smoke_steps", type=int, default=2)
     return p
@@ -62,7 +68,18 @@ def main(argv=None):
     from ..io.cameras_io import save_cameras_npz
     from ..io.delta import extract_delta, save_delta_npz
     from ..parallel import make_mesh, replicate, shard_batch
-    from ..train import TrainConfig, Trainer, capture_references
+    from ..train import (
+        MetricsLogger,
+        TrainConfig,
+        Trainer,
+        capture_references,
+        ema_init,
+        ema_swap,
+        ema_update,
+        latest_checkpoint,
+        restore_train_state,
+        save_train_state,
+    )
     from ..utils.config import apply_overrides, config_to_dict
     from .sample import make_tokenizers
 
@@ -160,30 +177,61 @@ def main(argv=None):
     with open(os.path.join(args.output_dir, "config.json"), "w") as f:
         json.dump(config_to_dict(cfg), f, indent=2, default=str)
 
+    ckpt_dir = os.path.join(args.output_dir, "checkpoints")
+    if args.resume:
+        latest = latest_checkpoint(ckpt_dir)
+        if latest:
+            state = restore_train_state(latest, state)
+            print(f"resumed from {latest} at step {int(state.step)}")
+
+    ema_state = ema_init(state.params, trainer.mask) if args.use_ema else None
+
     step_fn = jax.jit(trainer.train_step)
+    ema_fn = (
+        jax.jit(lambda e, p: ema_update(e, p, args.ema_decay))
+        if args.use_ema
+        else None
+    )
     t_start = time.time()
     images_per_step = n_dev * args.batch_size
-    for step in range(args.max_steps):
-        batch = next(train_iter)
-        batch.pop("txt", None), batch.pop("txt_ref", None)
-        if mesh is not None:
-            batch = shard_batch(batch, mesh)
-        key, sub = jax.random.split(key)
-        t0 = time.time()
-        state, metrics = step_fn(state, batch, sub)
-        if step % args.log_every == 0 or step == args.max_steps - 1:
-            metrics = {k: float(v) for k, v in metrics.items()}
-            dt = time.time() - t0
-            print(
-                f"step {step}: loss={metrics.get('loss_total', 0):.4f} "
-                + " ".join(
-                    f"{k}={v:.4f}" for k, v in metrics.items() if k != "loss_total"
+    meter = MetricsLogger(args.output_dir, images_per_step)
+    start_step = int(state.step)
+    try:
+        for step in range(start_step, args.max_steps):
+            batch = next(train_iter)
+            batch.pop("txt", None), batch.pop("txt_ref", None)
+            if mesh is not None:
+                batch = shard_batch(batch, mesh)
+            key, sub = jax.random.split(key)
+            meter.tic()
+            state, metrics = step_fn(state, batch, sub)
+            jax.block_until_ready(state.params["conditioner"]["clip_l"]["modifier_rows"])
+            meter.toc()
+            if ema_fn is not None:
+                ema_state = ema_fn(ema_state, state.params)
+            if step % args.log_every == 0 or step == args.max_steps - 1:
+                row = meter.log(step, metrics)
+                print(
+                    f"step {step}: loss={row.get('loss_total', 0):.4f} "
+                    + " ".join(
+                        f"{k}={v:.4f}" for k, v in row.items()
+                        if k not in ("loss_total", "step")
+                    )
                 )
-                + f" ({images_per_step / max(dt, 1e-9):.2f} img/s)"
-            )
-        if args.ckpt_every and step and step % args.ckpt_every == 0:
-            _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
+            if args.ckpt_every and step and step % args.ckpt_every == 0:
+                _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
+            if args.full_ckpt_every and step and step % args.full_ckpt_every == 0:
+                save_train_state(ckpt_dir, state)
+    except KeyboardInterrupt:
+        # checkpoint-on-interrupt (the reference's melk/on_exception handlers,
+        # main.py:322-329,1053-1072)
+        print("interrupted — writing last checkpoint")
+        save_train_state(ckpt_dir, state)
+        raise
 
+    save_train_state(ckpt_dir, state)
+    if args.use_ema:
+        state = state._replace(params=ema_swap(state.params, ema_state))
     print(f"training done in {time.time()-t_start:.0f}s")
 
     # ---- capture + delta export ----

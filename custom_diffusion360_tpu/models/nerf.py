@@ -52,6 +52,11 @@ class NerfConfig:
     average: bool = False
     stratified: bool = True
     imp_sampling_percent: float = 0.9
+    # stream the hw (ray/token) axis in chunks of this many rays through the
+    # encoding: the per-view point tensors are (B, N, hw, S, C+geom) — at the
+    # 1024^2 workload that is ~19 GB unchunked, beyond a v5e chip's HBM.
+    # 0 disables chunking. Each chunk is rematerialized on backward.
+    chunk_size: int = 512
 
     @property
     def total_far(self) -> float:
@@ -231,27 +236,38 @@ def raymarch(
 # ---------------------------------------------------------------------------
 
 
+def apply_ref_mask(xref, mask_ref):
+    """Zero padded regions of the reference feature maps
+    (nerfsd_pytorch3d.py:66-77). xref: (B, N, hw, C); mask_ref: (B, N, Hm, Wm)."""
+    if mask_ref is None:
+        return xref
+    b, n, hw, _ = xref.shape
+    res = int(math.sqrt(hw))
+    m = mask_ref.reshape(b, n, -1, 1).astype(xref.dtype)
+    src = int(math.sqrt(m.shape[2]))
+    m = nearest_resize_tokens(m, src, res)
+    return xref * m
+
+
 def nerf_encoding_apply(
     params, cams: Cameras, xref, ray_points, rays, mask_ref, cfg: NerfConfig
 ):
     """Per-point features + density logits.
 
-    cams: (B, N+1) with camera 0 = target; xref: (B, N, hw, C) reference
-    features; ray_points: (B, hw, S, 3) target ray points (world);
+    cams: (B, N+1) with camera 0 = target; xref: (B, N, hw_full, C) reference
+    features (hw_full = res^2 token grid); ray_points: (B, hw, S, 3) target
+    ray points (world) — hw may be a chunk of the full grid;
     rays: (B, N+1, hw, 6); mask_ref: (B, N, Hm, Wm) or None.
     Returns (out (B, hw, S, C + 1 [+3]), attn (B, N, hw, S, 1) | None).
     """
     xref = xref.astype(jnp.float32)
-    b, n, hw, c = xref.shape
+    b, n, hw_full, c = xref.shape
+    hw = ray_points.shape[1]
     s = ray_points.shape[-2]
-    res = int(math.sqrt(hw))
+    res = int(math.sqrt(hw_full))
     nf = cfg.num_freqs
 
-    if mask_ref is not None:
-        m = mask_ref.reshape(b, n, -1, 1).astype(jnp.float32)
-        src = int(math.sqrt(m.shape[2]))
-        m = nearest_resize_tokens(m, src, res)
-        xref = xref * m
+    xref = apply_ref_mask(xref, mask_ref)
 
     # project target ray points into every camera of each sample's rig
     ndc = transform_points_ndc(cams, ray_points.reshape(b, 1, hw * s, 3))
@@ -341,9 +357,36 @@ def nerfsd_apply(
         prev_weights=prev_weights,
         imp_sample_next_step=imp_sample_next_step,
     )
-    out, attn = nerf_encoding_apply(
-        params, cams, xref, march["ray_points"], march["rays"], mask_ref, cfg
-    )
+    xref = apply_ref_mask(xref.astype(jnp.float32), mask_ref)
+
+    def encode(points):
+        hw = points.shape[1]
+        chunk = cfg.chunk_size
+        if not chunk or hw <= chunk:
+            return nerf_encoding_apply(
+                params, cams, xref, points, march["rays"], None, cfg
+            )
+        while hw % chunk:
+            chunk //= 2
+        nc = hw // chunk
+        b = points.shape[0]
+        s = points.shape[2]
+        n1 = march["rays"].shape[1]
+        pts = jnp.moveaxis(points.reshape(b, nc, chunk, s, 3), 1, 0)
+        rys = jnp.moveaxis(
+            march["rays"].reshape(b, n1, nc, chunk, 6), 2, 0
+        )
+
+        @jax.checkpoint
+        def one(args):
+            p, r = args
+            return nerf_encoding_apply(params, cams, xref, p, r, None, cfg)[0]
+
+        out = jax.lax.map(one, (pts, rys))
+        out = jnp.moveaxis(out, 0, 1).reshape(b, hw, s, -1)
+        return out, None
+
+    out, attn = encode(march["ray_points"])
     sigma = out[..., -1:]
     features = out[..., :-1]
     rgb = None
@@ -353,15 +396,7 @@ def nerfsd_apply(
 
     sigma_uniform = dists_uniform = None
     if imp_sample_next_step:
-        out_u, _ = nerf_encoding_apply(
-            params,
-            cams,
-            xref,
-            march["ray_points_uniform"],
-            march["rays"],
-            mask_ref,
-            cfg,
-        )
+        out_u, _ = encode(march["ray_points_uniform"])
         sigma_uniform = jax.lax.stop_gradient(out_u[..., -1:])
         dists_uniform = march["dists_uniform"][..., None]
 

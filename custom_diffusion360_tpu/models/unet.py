@@ -70,6 +70,7 @@ class UNetConfig:
     poscontrol_interval: int = 4
     imp_sampling_percent: float = 0.9
     add_lora: bool = False
+    nerf_chunk_size: int = 512  # rays per streamed FeatureNeRF chunk
 
     def nerf_config(self, dim: int) -> NerfConfig:
         return NerfConfig(
@@ -82,6 +83,7 @@ class UNetConfig:
             average=self.average,
             stratified=self.stratified,
             imp_sampling_percent=self.imp_sampling_percent,
+            chunk_size=self.nerf_chunk_size,
         )
 
     def transformer_config(self, ch: int, depth: int, attn_id: int) -> TransformerConfig:
