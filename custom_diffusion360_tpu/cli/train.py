@@ -47,6 +47,7 @@ def build_parser():
     p.add_argument("--vocab_dir", default=None)
     p.add_argument("--modifier_token", default="<new1>")
     p.add_argument("--reg_dir", default=None)
+    p.add_argument("--config", default=None, help="EngineConfig YAML overrides")
     p.add_argument("--override", action="append", default=[])
     p.add_argument("--use_ema", action="store_true")
     p.add_argument("--ema_decay", type=float, default=0.9999)
@@ -94,6 +95,10 @@ def main(argv=None):
         args.img_size = 64
         args.num_images = 3
         args.ckpt_every = max(args.ckpt_every, 10**6)
+    if args.config:
+        from ..utils.config import load_config
+
+        cfg = load_config(cfg, args.config)
     cfg = apply_overrides(cfg, args.override)
     eng = Engine(cfg)
 
