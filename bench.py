@@ -119,32 +119,33 @@ def main():
     cond = {"crossattn": ctx, "vector": y}
     uc = {"crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
 
-    def net_factory(nerf_caches, use_refs):
+    # params/refs/caches are explicit jit args — closing over them bakes GBs
+    # of constants into the lowering and multiplies compile time
+    def render_step(params, refs, x, sigma):
         def network(xs, t, c, **kw):
             return unet_apply(
                 params, cfg, xs, t, c["crossattn"], c["vector"],
-                cams=cams,
-                ref_features=refs if use_refs else None,
-                nerf_caches=nerf_caches,
-                compute_dtype=dtype,
+                cams=cams, ref_features=refs, compute_dtype=dtype,
             )
-        return network
 
-    def render_step(x, sigma):
         s = jnp.full((b,), sigma, jnp.float32)
         xb, sb, cb = guider.prepare(x, s, cond, uc)
-        denoised, aux = den(net_factory(None, True), xb, sb, cb)
+        denoised, aux = den(network, xb, sb, cb)
         return guider.combine(denoised, s), aux["rendered"]
 
-    def make_cached_step(caches):
-        def step(x, sigma, next_sigma):
-            s = jnp.full((b,), sigma, jnp.float32)
-            xb, sb, cb = guider.prepare(x, s, cond, uc)
-            denoised, _ = den(net_factory(caches, False), xb, sb, cb)
-            denoised = guider.combine(denoised, s)
-            d = to_d(x, s, denoised)
-            return x + (next_sigma - sigma) * d
-        return step
+    def cached_step(params, caches, x, sigma, next_sigma):
+        def network(xs, t, c, **kw):
+            return unet_apply(
+                params, cfg, xs, t, c["crossattn"], c["vector"],
+                cams=cams, nerf_caches=caches, compute_dtype=dtype,
+            )
+
+        s = jnp.full((b,), sigma, jnp.float32)
+        xb, sb, cb = guider.prepare(x, s, cond, uc)
+        denoised, _ = den(network, xb, sb, cb)
+        denoised = guider.combine(denoised, s)
+        d = to_d(x, s, denoised)
+        return x + (next_sigma - sigma) * d
 
     x = jax.random.normal(jax.random.PRNGKey(1), (b, latent, latent, 4)) * float(
         jnp.sqrt(1 + sigmas[0] ** 2)
@@ -153,21 +154,21 @@ def main():
     # first (render) step
     render_jit = jax.jit(render_step)
     t0 = time.time()
-    denoised, caches = jax.block_until_ready(render_jit(x, sigmas[0]))
+    denoised, caches = jax.block_until_ready(render_jit(params, refs, x, sigmas[0]))
     compile_first = time.time() - t0
     t0 = time.time()
-    denoised, caches = jax.block_until_ready(render_jit(x, sigmas[0]))
+    denoised, caches = jax.block_until_ready(render_jit(params, refs, x, sigmas[0]))
     t_first = time.time() - t0
     d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
     x = x + (sigmas[1] - sigmas[0]) * d
 
-    step_jit = jax.jit(make_cached_step(caches))
+    step_jit = jax.jit(cached_step)
     t0 = time.time()
-    x1 = jax.block_until_ready(step_jit(x, sigmas[1], sigmas[2]))
+    x1 = jax.block_until_ready(step_jit(params, caches, x, sigmas[1], sigmas[2]))
     compile_step = time.time() - t0
     t0 = time.time()
     for i in range(args.iters):
-        x1 = step_jit(x1, sigmas[1], sigmas[2])
+        x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
     jax.block_until_ready(x1)
     t_step = (time.time() - t0) / args.iters
 

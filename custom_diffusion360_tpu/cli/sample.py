@@ -201,6 +201,20 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     from PIL import Image
 
+    # one compiled program per run: params/references/cams/cond are jit args
+    # (closures over concrete arrays would bake GBs of constants in)
+    @jax.jit
+    def sample_jit(params, references, cams, c, uc, key):
+        z = eng.sample(
+            params, c, uc, guider, key,
+            shape=(b, latent, latent, 4),
+            cams=cams,
+            references=references,
+            choices=np.asarray(choices) if references else None,
+            num_steps=args.num_steps,
+        )
+        return eng.decode_first_stage(params, z.astype(dtype))
+
     for count, pid in enumerate(pose_ids):
         target = cams_val[int(pid) : int(pid) + 1]
         targets = [target]
@@ -226,17 +240,10 @@ def main(argv=None):
                 cams_one,
             )
             t0 = time.time()
-            z = eng.sample(
-                params, c, uc, guider,
+            img = sample_jit(
+                params, references, cams, c, uc,
                 jax.random.fold_in(key, count * 100 + j),
-                shape=(b, latent, latent, 4),
-                cams=cams,
-                references=references,
-                # buffer rows follow train-frame order -> same choices
-                choices=np.asarray(choices) if references is not None else None,
-                num_steps=args.num_steps,
             )
-            img = eng.decode_first_stage(params, z.astype(dtype))
             img = np.asarray(
                 jnp.clip((img.astype(jnp.float32) + 1) * 127.5, 0, 255)
             ).astype(np.uint8)[0]

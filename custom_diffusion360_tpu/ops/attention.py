@@ -37,12 +37,15 @@ def _get_flash():
 
 
 def _xla_attention(q, k, v, scale):
-    # q: (b, n, h, d); k/v: (b, m, h, d)
-    logits = jnp.einsum(
-        "bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32
-    )
-    probs = jax.nn.softmax(logits * scale, axis=-1).astype(v.dtype)
-    return jnp.einsum("bhnm,bmhd->bnhd", probs, v)
+    # q: (b, n, h, d); k/v: (b, m, h, d). Math in f32: bf16 batched attention
+    # matmuls crash this libtpu's compiler at seq >= 2048 (SIGABRT lowering
+    # the einsum to a dilated convolution), and f32 softmax matches the
+    # reference's autocast islands anyway.
+    dtype = v.dtype
+    qf, kf, vf = (t.astype(jnp.float32) for t in (q, k, v))
+    logits = jnp.einsum("bnhd,bmhd->bhnm", qf, kf)
+    probs = jax.nn.softmax(logits * scale, axis=-1)
+    return jnp.einsum("bhnm,bmhd->bnhd", probs, vf).astype(dtype)
 
 
 def _flash_ok(q, k):
@@ -50,8 +53,8 @@ def _flash_ok(q, k):
         return False
     b, n, h, d = q.shape
     m = k.shape[1]
-    # the TPU kernel wants lane-aligned seq lengths and head dims
-    return (d % 128 == 0) and (n % 128 == 0) and (m % 128 == 0)
+    # lane-aligned head dim (64 validated on v5e) and block-aligned seqs
+    return (d % 64 == 0) and (n % 128 == 0) and (m % 128 == 0) and n >= 128
 
 
 def dot_product_attention(
