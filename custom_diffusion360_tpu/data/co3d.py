@@ -78,16 +78,11 @@ def _crop_pil(img, bbox):
 
 
 def _dilate7(mask):
-    """7x7 max-pool dilation, 'same' padding (data_co3d.py:471)."""
-    m = np.asarray(mask, np.float32)
-    h, w = m.shape
-    p = np.zeros((h + 6, w + 6), np.float32)
-    p[3 : 3 + h, 3 : 3 + w] = m
-    out = np.zeros_like(m)
-    for dy in range(7):
-        for dx in range(7):
-            out = np.maximum(out, p[dy : dy + h, dx : dx + w])
-    return out
+    """7x7 max-pool dilation, 'same' padding (data_co3d.py:471); native C++
+    path with numpy fallback."""
+    from .native import dilate7
+
+    return dilate7(np.asarray(mask, np.float32))
 
 
 @dataclasses.dataclass
@@ -235,11 +230,11 @@ class Co3dDataset:
         mask_padded = _crop_pil(mask_padded, bbox)
 
         s = cfg.img_size
-        img = img.resize((s, s), Image.BICUBIC)
+        from .native import resize_bicubic_to_pm1
+
+        image = resize_bicubic_to_pm1(np.asarray(img, np.uint8), s, s)  # (H, W, 3)
         mask = mask.resize((s // 8, s // 8), Image.BILINEAR)
         mask_padded = mask_padded.resize((s // 8, s // 8), Image.BILINEAR)
-
-        image = np.asarray(img, np.float32) / 255.0 * 2.0 - 1.0  # (H, W, 3)
         mask_np = np.asarray(mask, np.float32)[..., None] / 255.0
         maskpad_np = np.asarray(mask_padded, np.float32)[..., None] / 255.0
         crop_xywh = np.array(

@@ -57,6 +57,15 @@ def _flash_ok(q, k):
     return (d % 64 == 0) and (n % 128 == 0) and (m % 128 == 0) and n >= 128
 
 
+def _block_ok(q, k):
+    if jax.devices()[0].platform != "tpu":
+        return False
+    d = q.shape[-1]
+    m = k.shape[1]
+    # whole KV resident in VMEM: scores block (block_q, m_pad) in f32
+    return d % 64 == 0 and m <= 1024
+
+
 def dot_product_attention(
     q: jnp.ndarray,
     k: jnp.ndarray,
@@ -67,20 +76,52 @@ def dot_product_attention(
     """Softmax attention. q: (b, n, h, d); k, v: (b, m, h, d) -> (b, n, h, d).
 
     ``scale`` defaults to d**-0.5 (torch SDPA default, attention.py:294).
+    Dispatch: single-pass Pallas kernel when the KV fits VMEM (short seqs and
+    all text cross-attention), streaming flash kernel for long self-attention,
+    f32 XLA otherwise.
     """
     d = q.shape[-1]
     if scale is None:
         scale = d**-0.5
 
     if impl == "auto":
-        impl = "pallas" if _flash_ok(q, k) and _get_flash() else "xla"
+        if _block_ok(q, k):
+            impl = "block"
+        elif _flash_ok(q, k) and _get_flash():
+            impl = "pallas"
+        else:
+            impl = "xla"
+
+    if impl == "block":
+        from .block_attention import block_attention
+
+        qt = jnp.swapaxes(q, 1, 2)
+        kt = jnp.swapaxes(k, 1, 2)
+        vt = jnp.swapaxes(v, 1, 2)
+        # tuned on v5e: small KV (text cross-attn) favors more q-parallelism,
+        # square-ish self-attn favors one big q block
+        bq = 512 if kt.shape[2] <= 128 else min(max(qt.shape[2], 128), 1024)
+        out = block_attention(qt, kt, vt, scale, None, bq)
+        return jnp.swapaxes(out, 1, 2)
 
     if impl == "pallas":
         fa = _get_flash()
         qt = jnp.swapaxes(q, 1, 2)  # (b, h, n, d)
         kt = jnp.swapaxes(k, 1, 2)
         vt = jnp.swapaxes(v, 1, 2)
-        out = fa.flash_attention(qt, kt, vt, causal=False, sm_scale=scale)
+        n, m = qt.shape[2], kt.shape[2]
+        # tuned on v5e (d=64, UNet shapes): default blocks leave 5x on the
+        # table (10.6ms -> 2.1ms at b2 h10 n4096)
+        bq, bk = min(n, 512), min(m, 1024)
+        bs = fa.BlockSizes(
+            block_q=bq, block_k_major=bk, block_k=bk, block_b=1,
+            block_q_major_dkv=bq, block_k_major_dkv=bk,
+            block_k_dkv=bk, block_q_dkv=bq,
+            block_k_major_dq=bk, block_k_dq=bk, block_q_dq=bq,
+        )
+        out = fa.flash_attention(
+            qt, kt, vt, causal=False, sm_scale=scale, block_sizes=bs
+        )
         return jnp.swapaxes(out, 1, 2)
 
     return _xla_attention(q, k, v, scale)
