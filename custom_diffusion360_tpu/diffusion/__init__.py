@@ -30,6 +30,7 @@ from .sigma_sampling import (
 from .denoiser import DenoiserConfig, Denoiser
 from .guiders import (
     identity_guider,
+    linear_prediction_guider,
     vanilla_cfg,
     vanilla_cfg_img_ref,
     scheduled_cfg_img_text_ref,

@@ -272,7 +272,7 @@ class Engine:
 
             return denoise
 
-        has_nerf_source = ref_features is not None or input_ref is not None
+        has_nerf_source = bool(ref_features) or input_ref is not None
         if cache_nerf and has_nerf_source:
             # unrolled step 0: render NeRF, capture caches
             s0 = jnp.full((b,), sigmas[0], jnp.float32)
@@ -290,3 +290,119 @@ class Engine:
                 denoise, x, sigmas, self.cfg.sampler, scale_init=False
             )
         return x
+
+    def samplemulti(
+        self,
+        params,
+        conds,
+        uc,
+        guider,
+        key,
+        *,
+        shape,
+        cams_list,
+        references=None,
+        choices=None,
+        num_steps: Optional[int] = None,
+        window: int = 64,
+        stride: int = 48,
+    ):
+        """MultiDiffusion panorama sampling: overlapping horizontal windows
+        each denoised under its own pose/conditioning, averaged per step
+        (EDMMultidiffusionSampler, sampling.py:155-233 +
+        DiffusionEngine.samplemulti, diffusion.py:403-423).
+
+        conds: list of per-view cond dicts; cams_list: list of per-view CFG-
+        replicated Cameras. shape: (B, H, _, C) — width derives from stride.
+        """
+        from .diffusion.sampling import multidiffusion_sample
+
+        n_steps = num_steps or self.cfg.num_sample_steps
+        sigmas = legacy_ddpm_sigmas(n_steps)
+        b = shape[0]
+
+        def make_view_fn(cond_j, cams_j):
+            ref_features = None
+            if references is not None:
+                ref_features = self.build_ref_features(
+                    references, choices, b, guider.num_copies
+                )
+            network = self.network_fn(
+                params, cams_j, None, training=False, ref_features=ref_features
+            )
+
+            def denoise(xi, sigma_vec):
+                xb, sb, cb = guider.prepare(xi, sigma_vec, cond_j, uc)
+                denoised, _ = self.denoiser(network, xb, sb, cb)
+                return guider.combine(denoised, sigma_vec)
+
+            return denoise
+
+        denoise_fns = [
+            make_view_fn(c, cams) for c, cams in zip(conds, cams_list)
+        ]
+        return multidiffusion_sample(
+            denoise_fns,
+            shape,
+            sigmas,
+            self.cfg.sampler,
+            key=key,
+            window=window,
+            stride=stride,
+        )
+
+    def log_images(
+        self,
+        params,
+        batch,
+        key,
+        *,
+        guider=None,
+        num_steps: int = 8,
+        sample: bool = True,
+    ):
+        """Training-preview logging (DiffusionEngine.log_images,
+        diffusion.py:474-557): VAE reconstructions + samples conditioned on
+        the batch's actual reference images (live dual-stream path).
+
+        Returns dict of (B, H, W, 3) image arrays in [-1, 1].
+        """
+        from .diffusion.guiders import vanilla_cfg_img_ref
+
+        out = {"inputs": batch["image"]}
+        k_enc, k_sample = jax.random.split(key)
+        z = self.encode_first_stage(params, batch["image"], k_enc)
+        out["reconstructions"] = self.decode_first_stage(params, z)
+        if not sample:
+            return out
+
+        guider = guider or vanilla_cfg_img_ref(scale=5.0)
+        cond = apply_conditioner(
+            params["conditioner"], batch, self.cfg.conditioner, ref=True
+        )
+        uc = apply_conditioner(
+            params["conditioner"], batch, self.cfg.conditioner,
+            force_zero_txt=True, ref=True,
+        )
+        ir = batch["image_ref"]
+        b, n = ir.shape[:2]
+        zr = self.encode_first_stage(
+            params, ir.reshape((b * n,) + ir.shape[2:]), k_enc
+        ).reshape((b, n) + z.shape[1:])
+        # CFG-replicate the live reference latents and cameras
+        copies = guider.num_copies
+        zr_cfg = jnp.concatenate([jnp.zeros_like(zr)] + [zr] * (copies - 1), 0)
+        cams = batch.get("cams")
+        cams_cfg = jax.tree.map(
+            lambda x: jnp.concatenate([x] * copies, 0), cams
+        )
+        z_s = self.sample(
+            params, cond, uc, guider, k_sample,
+            shape=z.shape,
+            cams=cams_cfg,
+            input_ref=zr_cfg,
+            sigmas_ref=jnp.zeros((copies * b,)),
+            num_steps=num_steps,
+        )
+        out["samples"] = self.decode_first_stage(params, z_s)
+        return out

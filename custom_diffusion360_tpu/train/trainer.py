@@ -37,6 +37,9 @@ class TrainConfig:
     eps: float = 1e-8
     accumulate_grad_batches: int = 1
     max_grad_norm: Optional[float] = None
+    # optional lr-multiplier schedule (train/lr_schedule.py fns); the
+    # reference trains with a constant lr (scheduler_config unset)
+    lr_schedule: Optional[Any] = None
 
 
 # ---------------------------------------------------------------------------
@@ -89,6 +92,9 @@ def make_optimizer(params, cfg: TrainConfig):
     labels = label_params(params, cfg.trainkeys)
 
     def adamw(lr):
+        if cfg.lr_schedule is not None:
+            base = lr
+            lr = lambda step: base * cfg.lr_schedule(step)  # noqa: E731
         tx = optax.adamw(
             lr, b1=cfg.b1, b2=cfg.b2, eps=cfg.eps, weight_decay=cfg.weight_decay
         )
