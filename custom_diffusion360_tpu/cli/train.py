@@ -55,6 +55,8 @@ def build_parser():
                    help="resume from the latest orbax checkpoint in output_dir")
     p.add_argument("--full_ckpt_every", type=int, default=0,
                    help="orbax full-state checkpoint interval (0 = final only)")
+    p.add_argument("--sample_every", type=int, default=0,
+                   help="write input/recon/sample image grids every N steps")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--smoke_steps", type=int, default=2)
     return p
@@ -191,6 +193,19 @@ def main(argv=None):
 
     ema_state = ema_init(state.params, trainer.mask) if args.use_ema else None
 
+    # SIGUSR1 -> checkpoint on demand (the reference's 'melk' handler,
+    # main.py:1053-1072)
+    import signal
+
+    def melk(*_):
+        print("SIGUSR1: writing checkpoint")
+        save_train_state(ckpt_dir, state)
+
+    try:
+        signal.signal(signal.SIGUSR1, melk)
+    except (ValueError, OSError):
+        pass
+
     step_fn = jax.jit(trainer.train_step)
     ema_fn = (
         jax.jit(lambda e, p: ema_update(e, p, args.ema_decay))
@@ -227,6 +242,19 @@ def main(argv=None):
                 _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
             if args.full_ckpt_every and step and step % args.full_ckpt_every == 0:
                 save_train_state(ckpt_dir, state)
+            if args.sample_every and step and step % args.sample_every == 0:
+                from ..train import save_image_grid
+
+                grids = eng.log_images(
+                    state.params, batch, jax.random.PRNGKey(step), num_steps=8
+                )
+                for name, imgs in grids.items():
+                    save_image_grid(
+                        os.path.join(
+                            args.output_dir, "images", f"{name}_{step:06d}.png"
+                        ),
+                        np.asarray(imgs),
+                    )
     except KeyboardInterrupt:
         # checkpoint-on-interrupt (the reference's melk/on_exception handlers,
         # main.py:322-329,1053-1072)

@@ -136,6 +136,18 @@ def compute_loss_terms(
     target = target.astype(f32)
     b = target.shape[0]
 
+    if cfg.loss_type == "l1":
+        # loss.py:211-214: plain mean, no masking on the l1 path
+        loss_l1 = (w.astype(f32) * jnp.abs(model_output - target)).reshape(
+            b, -1
+        ).mean(axis=1)
+        return {"l2": loss_l1, "fg": None, "bg": None, "rgb": None}
+    if cfg.loss_type != "l2":
+        raise NotImplementedError(
+            f"loss_type={cfg.loss_type!r} (lpips needs pretrained VGG weights "
+            "not available in this environment)"
+        )
+
     loss = w.astype(f32) * (model_output - target) ** 2
     if mask is not None:
         m = mask.astype(f32)
