@@ -62,6 +62,9 @@ def _pad_axis(x, axis, to):
     return jnp.pad(x, widths)
 
 
+_INTERPRET = False  # tests flip this to run the kernel on CPU
+
+
 def _forward(q, k, v, scale, kv_len, block_q):
     """q: (b, h, n, d); k/v: (b, h, m, d) -> (b, h, n, d)."""
     b, h, n, d = q.shape
@@ -85,6 +88,7 @@ def _forward(q, k, v, scale, kv_len, block_q):
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda i, j, t: (i, j, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),
+        interpret=_INTERPRET,
     )(qp, kp, vp)
     return out[:, :, :n]
 
@@ -107,7 +111,9 @@ def block_attention(q, k, v, scale, kv_len=None, block_q=512):
     kv_len (static) masks padded keys. Requires block_q * m_padded * 4B to
     fit VMEM (use for m <= ~2048).
     """
-    if not _HAS_PALLAS or jax.devices()[0].platform != "tpu":
+    if not _HAS_PALLAS or (
+        jax.devices()[0].platform != "tpu" and not _INTERPRET
+    ):
         return _xla_f32(q, k, v, scale, kv_len)
     return _forward(q, k, v, scale, kv_len, block_q)
 

@@ -1,0 +1,58 @@
+"""Block-attention kernel correctness (pallas interpret mode on CPU)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import custom_diffusion360_tpu.ops.block_attention as ba
+
+
+@pytest.fixture(autouse=True)
+def interpret_mode(monkeypatch):
+    monkeypatch.setattr(ba, "_INTERPRET", True)
+
+
+def _ref(q, k, v, scale, kv_len=None):
+    return ba._xla_f32(q, k, v, scale, kv_len)
+
+
+class TestKernel:
+    def test_matches_reference(self):
+        key = jax.random.PRNGKey(0)
+        q = jax.random.normal(key, (2, 3, 256, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (2, 3, 256, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (2, 3, 256, 64))
+        got = ba.block_attention(q, k, v, 0.125, None, 128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_ref(q, k, v, 0.125)), atol=2e-5
+        )
+
+    def test_kv_padding_and_mask(self):
+        """m=77 pads to 128; padded keys must not contribute."""
+        key = jax.random.PRNGKey(3)
+        q = jax.random.normal(key, (1, 2, 128, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (1, 2, 77, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (1, 2, 77, 64))
+        got = ba.block_attention(q, k, v, 0.125, 77, 128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_ref(q, k, v, 0.125)), atol=2e-5
+        )
+
+    def test_q_padding(self):
+        """n not a multiple of block_q."""
+        key = jax.random.PRNGKey(4)
+        q = jax.random.normal(key, (1, 1, 200, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (1, 1, 128, 64))
+        got = ba.block_attention(q, k, k, 0.125, None, 128)
+        assert got.shape == (1, 1, 200, 64)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_ref(q, k, k, 0.125)), atol=2e-5
+        )
+
+    def test_gradient_matches(self):
+        key = jax.random.PRNGKey(5)
+        q = jax.random.normal(key, (1, 2, 128, 64))
+
+        g1 = jax.grad(lambda q: (ba.block_attention(q, q, q, 0.125, None, 128) ** 2).sum())(q)
+        g2 = jax.grad(lambda q: (_ref(q, q, q, 0.125) ** 2).sum())(q)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
