@@ -151,25 +151,33 @@ def main():
         jnp.sqrt(1 + sigmas[0] ** 2)
     )
 
+    def force(t):
+        # block_until_ready can return early over the device tunnel; a scalar
+        # host read is the only reliable fence
+        return float(jnp.sum(t.astype(jnp.float32)))
+
     # first (render) step
     render_jit = jax.jit(render_step)
     t0 = time.time()
-    denoised, caches = jax.block_until_ready(render_jit(params, refs, x, sigmas[0]))
+    denoised, caches = render_jit(params, refs, x, sigmas[0])
+    force(denoised)
     compile_first = time.time() - t0
     t0 = time.time()
-    denoised, caches = jax.block_until_ready(render_jit(params, refs, x, sigmas[0]))
+    denoised, caches = render_jit(params, refs, x, sigmas[0])
+    force(denoised)
     t_first = time.time() - t0
     d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
     x = x + (sigmas[1] - sigmas[0]) * d
 
     step_jit = jax.jit(cached_step)
     t0 = time.time()
-    x1 = jax.block_until_ready(step_jit(params, caches, x, sigmas[1], sigmas[2]))
+    x1 = step_jit(params, caches, x, sigmas[1], sigmas[2])
+    force(x1)
     compile_step = time.time() - t0
     t0 = time.time()
     for i in range(args.iters):
         x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
-    jax.block_until_ready(x1)
+    force(x1)
     t_step = (time.time() - t0) / args.iters
 
     t_vae = 0.0
@@ -178,10 +186,12 @@ def main():
         vparams = jax.tree.map(
             lambda a: a.astype(dtype), init_vae_params(jax.random.PRNGKey(2), vae_cfg)
         )
-        dec = jax.jit(lambda z: decode_first_stage(vparams, z.astype(dtype), vae_cfg))
-        img = jax.block_until_ready(dec(x1))  # compile
+        dec = jax.jit(
+            lambda vp, z: decode_first_stage(vp, z.astype(dtype), vae_cfg)
+        )
+        force(dec(vparams, x1))  # compile
         t0 = time.time()
-        img = jax.block_until_ready(dec(x1))
+        force(dec(vparams, x1))
         t_vae = time.time() - t0
 
     total = t_first + (args.steps - 1) * t_step + t_vae

@@ -32,10 +32,7 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded):
-    q = q_ref[0, 0]  # (bq, d)
-    k = k_ref[0, 0]  # (m, d)
-    v = v_ref[0, 0]
+def _attend(q, k, v, scale, kv_len, m_padded, out_dtype):
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -50,7 +47,25 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded):
         p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
     )
-    o_ref[0, 0] = o.astype(o_ref.dtype)
+    return o.astype(out_dtype)
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded):
+    q = q_ref[0, 0]  # (bq, d)
+    k = k_ref[0, 0]  # (m, d)
+    v = v_ref[0, 0]
+    o_ref[0, 0] = _attend(q, k, v, scale, kv_len, m_padded, o_ref.dtype)
+
+
+def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded, heads):
+    """One program per (batch, q-block); python-unrolled loop over heads
+    amortizes per-program overhead (the chip has a single TensorCore, so
+    fewer/bigger programs win)."""
+    for i in range(heads):
+        o_ref[0, i] = _attend(
+            q_ref[0, i], k_ref[0, i], v_ref[0, i], scale, kv_len, m_padded,
+            o_ref.dtype,
+        )
 
 
 def _pad_axis(x, axis, to):
@@ -75,6 +90,29 @@ def _forward(q, k, v, scale, kv_len, block_q):
     kp = _pad_axis(k, 2, 128)
     vp = _pad_axis(v, 2, 128)
     np_, mp = qp.shape[2], kp.shape[2]
+
+    # all heads in one program when VMEM allows: scores h*(bq, mp) f32 are
+    # transient (one head live at a time), q/k/v/o blocks are h*(len, d)
+    vmem_blocks = (2 * h * mp * d + h * np_ * d * 2) * 2 + block_q * mp * 4
+    if vmem_blocks < 10 * 2**20:
+        out = pl.pallas_call(
+            functools.partial(
+                _kernel_allheads, scale=scale, kv_len=kv_len, m_padded=mp,
+                heads=h,
+            ),
+            grid=(b, np_ // block_q),
+            in_specs=[
+                pl.BlockSpec((1, h, block_q, d), lambda i, t: (i, 0, t, 0)),
+                pl.BlockSpec((1, h, mp, d), lambda i, t: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, mp, d), lambda i, t: (i, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, h, block_q, d), lambda i, t: (i, 0, t, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),
+            interpret=_INTERPRET,
+        )(qp, kp, vp)
+        return out[:, :, :n]
 
     out = pl.pallas_call(
         functools.partial(
