@@ -37,6 +37,7 @@ from ..geometry.rays import (
     rays_to_view_space,
 )
 from ..ops.grid_sample import grid_sample_2d
+from ..ops.onehot_sample import bilinear_sample
 from ..ops.sample_pdf import sample_pdf
 from .nn import linear, linear_init, nearest_resize_tokens, silu
 
@@ -57,6 +58,18 @@ class NerfConfig:
     # 1024^2 workload that is ~19 GB unchunked, beyond a v5e chip's HBM.
     # 0 disables chunking. Each chunk is rematerialized on backward.
     chunk_size: int = 512
+    # dtype for the encoding's big matmuls (map projection, sampling, MLPs).
+    # float32 reproduces the reference's forced-fp32 NeRF islands
+    # (attention.py:626); bfloat16 is the TPU inference choice — softmax,
+    # density (trunc_exp input) and the volume render stay float32 either way.
+    compute_dtype: str = "float32"
+    # bilinear sampler implementation: "auto" = one-hot MXU matmul on TPU,
+    # gather-based XLA elsewhere (see ops/onehot_sample.py)
+    sample_impl: str = "auto"
+
+    @property
+    def cdtype(self):
+        return jnp.dtype(self.compute_dtype)
 
     @property
     def total_far(self) -> float:
@@ -196,15 +209,19 @@ def raymarch(
     b = rays.shape[0]
     num_rays = resolution * resolution
 
+    # independent draws per branch, as the reference does (it calls fresh
+    # torch randomness in each of the stratified / importance paths,
+    # nerfsd_pytorch3d.py:296-298,345-353)
+    k_strat, k_imp = jax.random.split(k_len)
     if prev_weights is None or cfg.imp_sampling_percent <= 0:
-        lengths, dists = _stratified_lengths(cfg, b, num_rays, k_len, training)
+        lengths, dists = _stratified_lengths(cfg, b, num_rays, k_strat, training)
     else:
         imp_lengths, imp_dists = _importance_lengths(
-            cfg, prev_weights, num_rays, k_len, training
+            cfg, prev_weights, num_rays, k_imp, training
         )
         if training:
             strat_lengths, strat_dists = _stratified_lengths(
-                cfg, b, num_rays, k_len, training
+                cfg, b, num_rays, k_strat, training
             )
             take_strat = (
                 jax.random.uniform(k_coin, ()) < (1.0 - cfg.imp_sampling_percent)
@@ -330,6 +347,195 @@ def nerf_encoding_apply(
 
 
 # ---------------------------------------------------------------------------
+# Split/commuted encoding — the TPU production path.
+#
+# Algebraically identical to nerf_encoding_apply (which stays as the
+# reference/golden path), restructured for the hardware:
+#
+# 1. bilinear sampling commutes with channel-wise linear maps:
+#    grid_sample(X) @ W == grid_sample(X @ W). Applying the l1 / nviews
+#    plane-feature weight to the (N, res^2) feature map ONCE instead of to
+#    every (ray, sample) point cuts the encoding's dominant matmul by the
+#    average sample multiplicity (~24x at production shapes).
+# 2. the big concat inputs (mlp_in / attn_in, nerfsd_pytorch3d.py:124-155)
+#    are never materialized — the l1 / nviews weights are split by input
+#    segment and each segment is contracted separately;
+# 3. segments that are constant along the sample axis (Plücker ray PE,
+#    target-space camera origins) are contracted per-ray and broadcast over
+#    S; the segment constant across views (target-space point PE in attn_in)
+#    is contracted once and broadcast over N;
+# 4. for the uniform-grid density pass (imp_sample_next_step) only sigma is
+#    needed, and everything after the silu is linear, so
+#    decoder(sum_n attn_n * l2(silu(h_n))) collapses to
+#    sum_n attn_n * (silu(h_n) @ (W2 @ Wd)[:, -1:]) + b2 @ Wd[:, -1:] —
+#    skipping the full C x C l2 matmul.
+# ---------------------------------------------------------------------------
+
+def _l1_row_splits(cfg: NerfConfig):
+    """Row ranges of the l1 weight by input segment.
+
+    mlp_in concat order (nerf_encoding_apply / nerfsd_pytorch3d.py:124-137):
+    [plane_features (C), pe_pts_view (6nf), pts_view (3),
+     pe_cam_inview (6nf), cam_inview_dir (3)].
+    """
+    c = cfg.dim
+    pe = cfg.num_freqs * 6
+    return c, c + pe + 3, c + 2 * pe + 6
+
+
+def _nviews_row_splits(cfg: NerfConfig):
+    """attn_in concat order (nerfsd_pytorch3d.py:139-151):
+    [plane_features (C), pe_pts_target (6nf), pts_target (3),
+     cam_target (3), pe_cam_target (6nf)]."""
+    c = cfg.dim
+    pe = cfg.num_freqs * 6
+    return c, c + pe + 3, c + pe + 6 + pe
+
+
+def project_ref_maps(params, xref, mask_ref, cfg: NerfConfig):
+    """One-time per-block projection of the reference feature maps by the
+    plane-feature rows of l1 and nviews (trick 1 above).
+
+    xref: (B, N, HW, C). Returns (B, N, HW, C+1) = [l1-projected | nviews-
+    projected] (or (B, N, HW, C) when cfg.average — no nviews head).
+    """
+    xref = apply_ref_mask(xref.astype(jnp.float32), mask_ref)
+    cdt = cfg.cdtype
+    c = cfg.dim
+    x = xref.astype(cdt)
+    g1 = x @ params["plane_coefs"]["l1"]["w"][:c].astype(cdt)
+    if cfg.average:
+        return g1
+    gv = x @ params["nviews"]["w"][:c].astype(cdt)
+    return jnp.concatenate([g1, gv], axis=-1)
+
+
+def ray_shared_terms(params, cams: Cameras, rays, cfg: NerfConfig):
+    """Sample-axis-invariant geometry contractions, once per ray (trick 3).
+
+    rays: (B, N+1, hw, 6) with index 0 the target camera.
+    Returns (geo_ray (B, N, hw, C) — l1's Plücker-PE segment + l1 bias,
+             logit_ray (B, N, hw, 1) | None — nviews' camera segment + bias).
+    """
+    cdt = cfg.cdtype
+    nf = cfg.num_freqs
+    _, s1, _ = _l1_row_splits(cfg)
+    rays_view = rays_to_view_space(cams, rays[:, 0])[:, 1:]  # (B, N, hw, 6)
+    ray_feat = jnp.concatenate(
+        [
+            positional_encoding(plucker_parameterization(rays_view), nf // 2),
+            rays_view[..., 3:],
+        ],
+        axis=-1,
+    ).astype(cdt)
+    l1 = params["plane_coefs"]["l1"]
+    geo_ray = ray_feat @ l1["w"][s1:].astype(cdt)
+    if "b" in l1:
+        geo_ray = geo_ray + l1["b"].astype(cdt)
+
+    logit_ray = None
+    if not cfg.average:
+        _, v1, _ = _nviews_row_splits(cfg)
+        ct = rays_to_target_space(cams, rays[:, 1:])[..., :3]  # (B, N, hw, 3)
+        att_ray = jnp.concatenate(
+            [ct, positional_encoding(ct, nf)], axis=-1
+        ).astype(cdt)
+        nv = params["nviews"]
+        logit_ray = att_ray @ nv["w"][v1:].astype(cdt)
+        if "b" in nv:
+            logit_ray = logit_ray + nv["b"].astype(cdt)
+    return geo_ray, logit_ray
+
+
+def nerf_encoding_split(
+    params,
+    cams: Cameras,
+    proj,
+    geo_ray,
+    logit_ray,
+    ray_points,
+    cfg: NerfConfig,
+    sigma_only: bool = False,
+):
+    """Per-point features + density — split/commuted form.
+
+    proj: (B, N, HW_full, C[+1]) from project_ref_maps; geo_ray/logit_ray
+    from ray_shared_terms, sliced to this hw chunk; ray_points (B, hw, S, 3).
+    Returns (out (B, hw, S, C+1[+3]), attn) like nerf_encoding_apply, or
+    (sigma (B, hw, S, 1), attn) when sigma_only.
+    """
+    cdt = cfg.cdtype
+    c = cfg.dim
+    nf = cfg.num_freqs
+    b, n = proj.shape[:2]
+    hw, s = ray_points.shape[1], ray_points.shape[2]
+    res = int(math.sqrt(proj.shape[2]))
+    _, s1, _ = _l1_row_splits(cfg)
+
+    # project target ray points into every reference camera and sample the
+    # pre-projected maps (reference sign flip + clip, nerfsd_pytorch3d.py:89-95)
+    ndc = transform_points_ndc(cams, ray_points.reshape(b, 1, hw * s, 3))
+    grid = jnp.clip(
+        jnp.nan_to_num(-jax.lax.stop_gradient(ndc[:, 1:, :, :2])), -1.2, 1.2
+    )
+    fm = proj.reshape((b * n, res, res) + proj.shape[3:])
+    sampled = bilinear_sample(
+        fm, grid.reshape(b * n, hw * s, 2), impl=cfg.sample_impl
+    ).reshape(b, n, hw, s, -1)
+
+    # per-point view-space geometry (includes the target view at index 0)
+    pts_view = points_to_view_space(cams, ray_points)  # (B, N+1, hw, S, 3)
+    pe_pts = positional_encoding(pts_view, nf)  # (B, N+1, hw, S, 6nf)
+    ptsgeo = jnp.concatenate(
+        [pe_pts[:, 1:], pts_view[:, 1:]], axis=-1
+    ).astype(cdt)
+    l1w = params["plane_coefs"]["l1"]["w"]
+    h_pre = (
+        sampled[..., :c]
+        + ptsgeo @ l1w[c:s1].astype(cdt)
+        + geo_ray[..., None, :]
+    )
+    h_act = silu(h_pre)
+
+    attn = None
+    if not cfg.average:
+        _, v1, _ = _nviews_row_splits(cfg)
+        vw = params["nviews"]["w"]
+        tgtgeo = jnp.concatenate(
+            [pe_pts[:, :1], pts_view[:, :1]], axis=-1
+        ).astype(cdt)  # constant across views: contract once, broadcast N
+        logit_pts = tgtgeo @ vw[c:v1].astype(cdt)  # (B, 1, hw, S, 1)
+        logits = (
+            sampled[..., c:] + logit_pts + logit_ray[..., None, :]
+        ).astype(jnp.float32)
+        attn = jax.nn.softmax(logits, axis=1)  # (B, N, hw, S, 1) f32
+
+    if sigma_only:
+        # trick 4: collapse l2 -> pool -> decoder to one C -> 1 contraction
+        l2 = params["plane_coefs"]["l2"]
+        wd = params["decoder"]["w"]
+        w2d = (l2["w"] @ wd)[:, -1:]  # sigma column
+        h_sig = h_act @ w2d.astype(cdt)  # (B, N, hw, S, 1)
+        if attn is None:
+            sigma = jnp.mean(h_sig.astype(jnp.float32), axis=1)
+        else:
+            sigma = jnp.sum(
+                h_sig * attn.astype(cdt), axis=1, dtype=jnp.float32
+            )
+        if "b" in l2:
+            sigma = sigma + (l2["b"] @ wd)[-1:]
+        return sigma, attn
+
+    h = linear(params["plane_coefs"]["l2"], h_act)  # (B, N, hw, S, C)
+    if attn is None:
+        pooled = jnp.mean(h.astype(jnp.float32), axis=1)
+    else:
+        pooled = jnp.sum(h * attn.astype(cdt), axis=1, dtype=jnp.float32)
+    out = linear(params["decoder"], pooled)  # f32 (density feeds trunc_exp)
+    return jnp.concatenate([pooled, out], axis=-1), attn
+
+
+# ---------------------------------------------------------------------------
 # Full module (reference: NerfSDModule, nerfsd_pytorch3d.py:397-464)
 # ---------------------------------------------------------------------------
 
@@ -346,7 +552,13 @@ def nerfsd_apply(
     imp_sample_next_step: bool = False,
 ):
     """Ray-march + encode. Returns dict(features, sigma, dists, attn, rgb,
-    sigma_uniform, dists_uniform); shapes (B, hw, S, *)."""
+    sigma_uniform, dists_uniform); shapes (B, hw, S, *).
+
+    Uses the split/commuted encoding (see nerf_encoding_split): the
+    plane-feature map projection and the per-ray geometry contractions are
+    hoisted out of the ray-chunk loop and shared between the main and the
+    uniform-grid (importance-chain) passes.
+    """
     resolution = int(math.sqrt(xref.shape[2]))
     march = raymarch(
         cams,
@@ -357,32 +569,43 @@ def nerfsd_apply(
         prev_weights=prev_weights,
         imp_sample_next_step=imp_sample_next_step,
     )
-    xref = apply_ref_mask(xref.astype(jnp.float32), mask_ref)
+    proj = project_ref_maps(params, xref, mask_ref, cfg)
+    geo_ray, logit_ray = ray_shared_terms(params, cams, march["rays"], cfg)
 
-    def encode(points):
+    def encode(points, sigma_only=False):
         hw = points.shape[1]
         chunk = cfg.chunk_size
         if not chunk or hw <= chunk:
-            return nerf_encoding_apply(
-                params, cams, xref, points, march["rays"], None, cfg
+            return nerf_encoding_split(
+                params, cams, proj, geo_ray, logit_ray, points, cfg,
+                sigma_only=sigma_only,
             )
         while hw % chunk:
             chunk //= 2
         nc = hw // chunk
-        b = points.shape[0]
-        s = points.shape[2]
-        n1 = march["rays"].shape[1]
-        pts = jnp.moveaxis(points.reshape(b, nc, chunk, s, 3), 1, 0)
-        rys = jnp.moveaxis(
-            march["rays"].reshape(b, n1, nc, chunk, 6), 2, 0
-        )
+        b, _, s, _ = points.shape
+
+        def split_hw(t):
+            # (B, [N,] hw, X) -> (nc, B, [N,] chunk, X) along the hw axis
+            lead = t.shape[:-2]
+            t = t.reshape(lead + (nc, chunk, t.shape[-1]))
+            return jnp.moveaxis(t, -3, 0)
+
+        chunks = {
+            "pts": jnp.moveaxis(points.reshape(b, nc, chunk, s, 3), 1, 0),
+            "geo_ray": split_hw(geo_ray),
+        }
+        if logit_ray is not None:
+            chunks["logit_ray"] = split_hw(logit_ray)
 
         @jax.checkpoint
-        def one(args):
-            p, r = args
-            return nerf_encoding_apply(params, cams, xref, p, r, None, cfg)[0]
+        def one(ch):
+            return nerf_encoding_split(
+                params, cams, proj, ch["geo_ray"], ch.get("logit_ray"),
+                ch["pts"], cfg, sigma_only=sigma_only,
+            )[0]
 
-        out = jax.lax.map(one, (pts, rys))
+        out = jax.lax.map(one, chunks)
         out = jnp.moveaxis(out, 0, 1).reshape(b, hw, s, -1)
         return out, None
 
@@ -396,8 +619,8 @@ def nerfsd_apply(
 
     sigma_uniform = dists_uniform = None
     if imp_sample_next_step:
-        out_u, _ = encode(march["ray_points_uniform"])
-        sigma_uniform = jax.lax.stop_gradient(out_u[..., -1:])
+        sig_u, _ = encode(march["ray_points_uniform"], sigma_only=True)
+        sigma_uniform = jax.lax.stop_gradient(sig_u)
         dists_uniform = march["dists_uniform"][..., None]
 
     return dict(

@@ -181,12 +181,16 @@ def _reference_attn(
         prev_weights=prev_weights if cfg.use_prev_weights_imp_sample else None,
         imp_sample_next_step=cfg.block_imp_sample_next(d),
     )
-    feats = nerf_out["features"]  # (B, hw, S, C)
+    feats = nerf_out["features"]  # (B, hw, S, C) f32
     b, hw, s, c = feats.shape
+    cdt = cfg.nerf.cdtype  # f32 reproduces the reference island exactly
     feats = feats.reshape(b, hw * s, c)
-    feats = cross_attention_apply(
-        p["attn2"], layer_norm(p["norm2"], feats), context, n_heads=cfg.n_heads
-    ) + feats
+    feats = feats + cross_attention_apply(
+        p["attn2"],
+        layer_norm(p["norm2"], feats.astype(cdt)),
+        context.astype(cdt),
+        n_heads=cfg.n_heads,
+    ).astype(jnp.float32)
     feats = feats.reshape(b, hw, s, c)
 
     sigma = trunc_exp(nerf_out["sigma"])

@@ -71,6 +71,10 @@ class UNetConfig:
     imp_sampling_percent: float = 0.9
     add_lora: bool = False
     nerf_chunk_size: int = 512  # rays per streamed FeatureNeRF chunk
+    # dtype of the FeatureNeRF encoding matmuls; "float32" matches the
+    # reference's forced-fp32 NeRF islands (attention.py:626), "bfloat16" is
+    # the TPU inference setting (softmax/density/volume render stay f32)
+    nerf_dtype: str = "float32"
 
     def nerf_config(self, dim: int) -> NerfConfig:
         return NerfConfig(
@@ -84,6 +88,7 @@ class UNetConfig:
             stratified=self.stratified,
             imp_sampling_percent=self.imp_sampling_percent,
             chunk_size=self.nerf_chunk_size,
+            compute_dtype=self.nerf_dtype,
         )
 
     def transformer_config(self, ch: int, depth: int, attn_id: int) -> TransformerConfig:
@@ -205,9 +210,12 @@ def _init_resblock(key, in_ch, out_ch, emb_dim):
 
 
 def _resblock_apply(p, x, emb):
-    h = conv2d(p["conv_in"], silu(group_norm(p["norm_in"], x)))
+    # ResBlock GroupNorms use torch's default eps=1e-5 (GroupNorm32,
+    # diffusionmodules/util.py:294-311) — unlike the eps=1e-6 Normalize of
+    # the transformer/VAE norms
+    h = conv2d(p["conv_in"], silu(group_norm(p["norm_in"], x, eps=1e-5)))
     h = h + linear(p["emb"], silu(emb))[:, None, None, :].astype(h.dtype)
-    h = conv2d(p["conv_out"], silu(group_norm(p["norm_out"], h)))
+    h = conv2d(p["conv_out"], silu(group_norm(p["norm_out"], h, eps=1e-5)))
     skip = conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
 
@@ -420,7 +428,8 @@ def unet_apply(
             apply_layer(lp, spec, stream, next_key())
 
     out = conv2d(
-        params["out_conv"], silu(group_norm(params["out_norm"], stream.h))
+        params["out_conv"],
+        silu(group_norm(params["out_norm"], stream.h, eps=1e-5)),
     ).astype(x.dtype)
 
     aux = dict(

@@ -1,0 +1,136 @@
+"""The split/commuted FeatureNeRF encoding must match the reference-shaped
+v1 path (nerf_encoding_apply) — same math, restructured for TPU."""
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from custom_diffusion360_tpu.geometry.cameras import Cameras
+from custom_diffusion360_tpu.geometry.rays import get_patch_rays
+from custom_diffusion360_tpu.models.nerf import (
+    NerfConfig,
+    apply_ref_mask,
+    init_nerf_params,
+    nerf_encoding_apply,
+    nerf_encoding_split,
+    nerfsd_apply,
+    project_ref_maps,
+    ray_shared_terms,
+    raymarch,
+)
+from custom_diffusion360_tpu.ops.grid_sample import grid_sample_2d
+from custom_diffusion360_tpu.ops.onehot_sample import bilinear_sample_matmul
+
+B, N, RES, C, S = 2, 3, 8, 32, 6
+
+
+def make_cams(n, seed=0):
+    r = np.random.default_rng(seed)
+    thetas = r.uniform(0, 2 * np.pi, n)
+    Rm = np.zeros((n, 3, 3), np.float32)
+    for i, t in enumerate(thetas):
+        c, s = np.cos(t), np.sin(t)
+        Rm[i] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    T = np.tile(np.array([0, 0, 2.7], np.float32), (n, 1))
+    return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
+
+
+def setup(average=False, rgb=True):
+    cfg = NerfConfig(
+        dim=C, num_samples=S, average=average, rgb_predict=rgb, chunk_size=0
+    )
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg)
+    cams = make_cams(B * (1 + N)).reshape(B, 1 + N)
+    xref = jax.random.normal(jax.random.PRNGKey(1), (B, N, RES * RES, C)) * 0.3
+    march = raymarch(cams, RES, cfg, None, False)
+    return cfg, params, cams, xref, march
+
+
+@pytest.mark.parametrize("average", [False, True])
+@pytest.mark.parametrize("rgb", [True, False])
+def test_split_matches_v1(average, rgb):
+    cfg, params, cams, xref, march = setup(average, rgb)
+    xm = apply_ref_mask(xref.astype(jnp.float32), None)
+    out1, attn1 = nerf_encoding_apply(
+        params, cams, xm, march["ray_points"], march["rays"], None, cfg
+    )
+    proj = project_ref_maps(params, xref, None, cfg)
+    geo_ray, logit_ray = ray_shared_terms(params, cams, march["rays"], cfg)
+    out2, attn2 = nerf_encoding_split(
+        params, cams, proj, geo_ray, logit_ray, march["ray_points"], cfg
+    )
+    np.testing.assert_allclose(out1, out2, rtol=2e-4, atol=2e-5)
+    if attn1 is not None:
+        np.testing.assert_allclose(attn1, attn2, rtol=2e-4, atol=2e-5)
+
+
+@pytest.mark.parametrize("average", [False, True])
+def test_sigma_only_collapse(average):
+    cfg, params, cams, xref, march = setup(average)
+    proj = project_ref_maps(params, xref, None, cfg)
+    geo_ray, logit_ray = ray_shared_terms(params, cams, march["rays"], cfg)
+    full, _ = nerf_encoding_split(
+        params, cams, proj, geo_ray, logit_ray, march["ray_points"], cfg
+    )
+    sig, _ = nerf_encoding_split(
+        params, cams, proj, geo_ray, logit_ray, march["ray_points"], cfg,
+        sigma_only=True,
+    )
+    np.testing.assert_allclose(full[..., -1:], sig, rtol=2e-4, atol=2e-5)
+
+
+def test_chunked_matches_unchunked():
+    cfg, params, cams, xref, _ = setup()
+    out_full = nerfsd_apply(params, cams, xref, None, cfg, None, False,
+                            imp_sample_next_step=True)
+    cfg_c = NerfConfig(dim=C, num_samples=S, chunk_size=16)
+    out_chunk = nerfsd_apply(params, cams, xref, None, cfg_c, None, False,
+                             imp_sample_next_step=True)
+    for k in ("features", "sigma", "rgb", "sigma_uniform"):
+        np.testing.assert_allclose(
+            out_full[k], out_chunk[k], rtol=2e-4, atol=2e-5, err_msg=k
+        )
+
+
+def test_onehot_sampler_matches_gather():
+    key = jax.random.PRNGKey(0)
+    fm = jax.random.normal(key, (4, 8, 8, 16))
+    # include out-of-range points to cover the zero-padding path
+    grid = jax.random.uniform(
+        jax.random.PRNGKey(1), (4, 50, 2), minval=-1.2, maxval=1.2
+    )
+    a = grid_sample_2d(fm, grid)
+    b = bilinear_sample_matmul(fm, grid)
+    np.testing.assert_allclose(a, b, rtol=1e-5, atol=1e-6)
+
+
+def test_mask_commutes_with_projection():
+    cfg, params, cams, xref, march = setup()
+    mask = (
+        jax.random.uniform(jax.random.PRNGKey(2), (B, N, RES, RES)) > 0.4
+    ).astype(jnp.float32)
+    xm = apply_ref_mask(xref.astype(jnp.float32), mask)
+    out1, _ = nerf_encoding_apply(
+        params, cams, xm, march["ray_points"], march["rays"], None, cfg
+    )
+    proj = project_ref_maps(params, xref, mask, cfg)
+    geo_ray, logit_ray = ray_shared_terms(params, cams, march["rays"], cfg)
+    out2, _ = nerf_encoding_split(
+        params, cams, proj, geo_ray, logit_ray, march["ray_points"], cfg
+    )
+    np.testing.assert_allclose(out1, out2, rtol=2e-4, atol=2e-5)
+
+
+def test_bf16_path_close_to_f32():
+    cfg, params, cams, xref, march = setup()
+    cfg16 = NerfConfig(
+        dim=C, num_samples=S, chunk_size=0, compute_dtype="bfloat16"
+    )
+    out32 = nerfsd_apply(params, cams, xref, None, cfg, None, False)
+    out16 = nerfsd_apply(params, cams, xref, None, cfg16, None, False)
+    # bf16 matmuls: loose tolerance, but must be the same function
+    np.testing.assert_allclose(
+        out32["features"], out16["features"], rtol=0.1, atol=0.05
+    )
