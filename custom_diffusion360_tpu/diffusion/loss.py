@@ -37,7 +37,7 @@ def _resize_bilinear_aa(x, size):
 
 @dataclasses.dataclass(frozen=True)
 class DiffusionLossConfig:
-    loss_type: str = "l2"
+    loss_type: str = "l2"  # l2 | l1 | lpips (loss.py:119)
     offset_noise_level: float = 0.0
     # sigma samplers (train_co3d_concept.yaml:119-131)
     num_idx: int = 1000       # CubicSampling grid for the target
@@ -46,6 +46,10 @@ class DiffusionLossConfig:
     loss_rgb_lambda: float = 5.0
     loss_fg_lambda: float = 10.0
     loss_bg_lambda: float = 10.0
+    # loss_type="lpips": torch checkpoint paths imported once at Engine init
+    # (taming "vgg.pth" heads + torchvision vgg16 state dict)
+    lpips_ckpt: Optional[str] = None
+    vgg_ckpt: Optional[str] = None
 
 
 def diffusion_loss_img_ref(
@@ -62,6 +66,7 @@ def diffusion_loss_img_ref(
     sigmas_cubic: jnp.ndarray,
     sigmas_discrete: jnp.ndarray,
     cfg: DiffusionLossConfig = DiffusionLossConfig(),
+    lpips_params=None,
     **model_kwargs,
 ):
     """One training forward; returns dict of per-sample loss terms.
@@ -113,6 +118,7 @@ def diffusion_loss_img_ref(
         mask,
         opacity,
         cfg=cfg,
+        lpips_params=lpips_params,
     )
 
 
@@ -128,6 +134,7 @@ def compute_loss_terms(
     opacity,
     *,
     cfg: DiffusionLossConfig = DiffusionLossConfig(),
+    lpips_params=None,
 ):
     """loss.py:177-209 in float32. Returns dict with per-sample vectors:
     'l2' (B,), 'fg'/'bg'/'rgb' (B, n_blocks) or None."""
@@ -142,11 +149,27 @@ def compute_loss_terms(
             b, -1
         ).mean(axis=1)
         return {"l2": loss_l1, "fg": None, "bg": None, "rgb": None}
+    if cfg.loss_type == "lpips":
+        # loss.py:214-215: LPIPS applied directly to the model output vs
+        # target (the reference, like sgm, feeds whatever the denoiser
+        # predicts — a 3-channel pixel-space model; 4-channel latents would
+        # fail the VGG conv there exactly as they do here)
+        if lpips_params is None:
+            raise ValueError(
+                "loss_type='lpips' needs lpips params — set "
+                "DiffusionLossConfig.lpips_ckpt/vgg_ckpt (imported at Engine "
+                "init) or pass lpips_params explicitly"
+            )
+        if model_output.shape[-1] != 3:
+            raise ValueError(
+                f"LPIPS expects 3-channel inputs, got {model_output.shape}"
+            )
+        from ..models.lpips import lpips_apply
+
+        loss_lp = lpips_apply(lpips_params, model_output, target)
+        return {"l2": loss_lp, "fg": None, "bg": None, "rgb": None}
     if cfg.loss_type != "l2":
-        raise NotImplementedError(
-            f"loss_type={cfg.loss_type!r} (lpips needs pretrained VGG weights "
-            "not available in this environment)"
-        )
+        raise NotImplementedError(f"loss_type={cfg.loss_type!r}")
 
     loss = w.astype(f32) * (model_output - target) ** 2
     if mask is not None:
