@@ -316,7 +316,9 @@ class Co3dDataset:
             reg = reg.resize((cfg.img_size, cfg.img_size), Image.BICUBIC)
             images[0] = np.asarray(reg, np.float32) / 255.0 * 2.0 - 1.0
             txt = self.regcaptions[rid]
-            orig_sizes[0] = cfg.img_size
+            # reference pins the size-conditioning tuple to 1024 for reg
+            # images regardless of img_size (data_co3d.py:455)
+            orig_sizes[0] = 1024
 
         depth = masks[0].copy()  # un-dilated (data_co3d.py:470)
         mask_dil = np.clip(_dilate7(masks[0][..., 0]), 0, 1)[..., None]
@@ -390,8 +392,19 @@ def collate(items: Sequence[dict], tokenizer_clip=None, tokenizer_open=None):
 
 
 class DataLoader:
-    """Minimal shuffling batch loader (replaces torch DataLoader +
-    CustomDataDictLoader, data_co3d.py:636-737)."""
+    """Shuffling batch loader with a worker thread pool and a bounded
+    prefetch queue (replaces torch DataLoader + CustomDataDictLoader,
+    data_co3d.py:636-737; the reference trains with num_workers=4).
+
+    Items are loaded/decoded by ``num_workers`` threads (PIL decode and the
+    native preprocessing release the GIL) and whole batches are collated —
+    including the host->device transfer of the jnp arrays — ``prefetch``
+    batches ahead of the training step, so the chip never waits on input.
+
+    Determinism: per-item PRNGs are derived from (seed, epoch, position), so
+    the data stream is identical for any num_workers (including 0 =
+    synchronous, the test path).
+    """
 
     def __init__(
         self,
@@ -402,25 +415,85 @@ class DataLoader:
         shuffle: bool = True,
         seed: int = 0,
         drop_last: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
         self.tokenizer_clip = tokenizer_clip
         self.tokenizer_open = tokenizer_open
         self.shuffle = shuffle
+        self.seed = seed
         self.rng = np.random.default_rng(seed)
         self.drop_last = drop_last
+        self.num_workers = num_workers
+        self.prefetch = max(prefetch, 1)
+        self._epoch = 0
 
-    def __iter__(self):
+    def _epoch_plan(self):
         order = np.arange(len(self.dataset))
         if self.shuffle:
             self.rng.shuffle(order)
+        epoch = self._epoch
+        self._epoch += 1
+        plan = []
         for i in range(0, len(order), self.batch_size):
             idxs = order[i : i + self.batch_size]
             if self.drop_last and len(idxs) < self.batch_size:
+                break
+            plan.append(
+                [(int(j), (self.seed, epoch, i + k)) for k, j in enumerate(idxs)]
+            )
+        return plan
+
+    def _load_item(self, job):
+        j, seed_key = job
+        return self.dataset.__getitem__(j, rng=np.random.default_rng(seed_key))
+
+    def __iter__(self):
+        plan = self._epoch_plan()
+        if self.num_workers <= 0:
+            for jobs in plan:
+                items = [self._load_item(job) for job in jobs]
+                yield collate(items, self.tokenizer_clip, self.tokenizer_open)
+            return
+
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def producer():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    for jobs in plan:
+                        if stop.is_set():
+                            return
+                        items = list(pool.map(self._load_item, jobs))
+                        q.put(
+                            collate(
+                                items, self.tokenizer_clip, self.tokenizer_open
+                            )
+                        )
+            except Exception as e:  # surface worker errors to the consumer
+                q.put(e)
                 return
-            items = [self.dataset.__getitem__(int(j), rng=self.rng) for j in idxs]
-            yield collate(items, self.tokenizer_clip, self.tokenizer_open)
+            q.put(None)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        try:
+            while True:
+                batch = q.get()
+                if batch is None:
+                    return
+                if isinstance(batch, Exception):
+                    raise batch
+                yield batch
+        finally:
+            stop.set()
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size

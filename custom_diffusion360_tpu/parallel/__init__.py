@@ -6,6 +6,8 @@ replicated, the batch is sharded over the 'data' axis, and XLA inserts the
 gradient all-reduce over ICI.
 """
 from .mesh import (
+    init_distributed,
+    is_main_process,
     make_mesh,
     batch_sharding,
     replicated_sharding,

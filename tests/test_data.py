@@ -195,3 +195,40 @@ class TestCollate:
         params = eng.init_params(jax.random.PRNGKey(0))
         loss, metrics = eng.training_loss(params, batch, jax.random.PRNGKey(1), 1)
         assert np.isfinite(float(loss))
+
+
+class TestPrefetchLoader:
+    def test_workers_match_synchronous(self, co3d_root):
+        """The threaded prefetch loader must produce the exact same batch
+        stream as the synchronous path (per-item PRNGs are derived from
+        (seed, epoch, position), not from worker scheduling)."""
+        ds = Co3dDataset(_cfg(co3d_root))
+        tok = make_test_tokenizer(
+            ["photo", "of", "a", "car"],
+            additional_special_tokens=("<new1>",),
+            context_length=16,
+        )
+
+        def run(num_workers):
+            dl = DataLoader(
+                ds, batch_size=2, tokenizer_clip=tok, tokenizer_open=tok,
+                seed=7, num_workers=num_workers,
+            )
+            return [b for _, b in zip(range(3), iter(dl))]
+
+        sync = run(0)
+        thr = run(3)
+        assert len(sync) == len(thr)
+        for a, b in zip(sync, thr):
+            for k in ("image", "image_ref", "drop_im", "tokens_clip"):
+                np.testing.assert_array_equal(np.asarray(a[k]), np.asarray(b[k]))
+
+    def test_epochs_differ(self, co3d_root):
+        ds = Co3dDataset(_cfg(co3d_root))
+        dl = DataLoader(ds, batch_size=2, seed=7, num_workers=0)
+        e1 = [b["image"] for b in dl]
+        e2 = [b["image"] for b in dl]
+        assert any(
+            not np.array_equal(np.asarray(a), np.asarray(b))
+            for a, b in zip(e1, e2)
+        )
