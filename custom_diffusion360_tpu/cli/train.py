@@ -57,6 +57,24 @@ def build_parser():
                    help="orbax full-state checkpoint interval (0 = final only)")
     p.add_argument("--sample_every", type=int, default=0,
                    help="write input/recon/sample image grids every N steps")
+    p.add_argument("--val_every", type=int, default=0,
+                   help="log validation loss every N steps (the reference "
+                        "interleaves val epochs into trainer.fit, "
+                        "main.py:588-608)")
+    p.add_argument("--multihost", action="store_true",
+                   help="multi-host run: jax.distributed.initialize(), "
+                        "per-process data shards, rank-0-gated writes "
+                        "(reference main.py:901-919)")
+    p.add_argument("--coordinator", default=None,
+                   help="coordinator address for --multihost off-TPU "
+                        "(host:port); on TPU pods it is auto-detected")
+    p.add_argument("--num_processes", type=int, default=None)
+    p.add_argument("--process_id", type=int, default=None)
+    p.add_argument("--profile_steps", type=int, default=0,
+                   help="capture a jax.profiler trace for steps [10, 10+N)")
+    p.add_argument("--wandb", default=None,
+                   help="wandb project name: mirror step metrics to wandb "
+                        "(reference main.py:843-875); requires wandb installed")
     p.add_argument("--smoke", action="store_true")
     p.add_argument("--smoke_steps", type=int, default=2)
     return p
@@ -65,12 +83,17 @@ def build_parser():
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+
+    if args.multihost:
+        from ..parallel import init_distributed
+
+        init_distributed(args.coordinator, args.num_processes, args.process_id)
     import jax.numpy as jnp
 
     from ..engine import Engine, EngineConfig
     from ..io.cameras_io import save_cameras_npz
     from ..io.delta import extract_delta, save_delta_npz
-    from ..parallel import make_mesh, replicate, shard_batch
+    from ..parallel import is_main_process, make_mesh, replicate, shard_batch
     from ..train import (
         MetricsLogger,
         TrainConfig,
@@ -159,8 +182,12 @@ def main(argv=None):
             reg_dir=args.reg_dir,
         )
         ds = Co3dDataset(dcfg)
+        # per-process rows (DDP per-rank split): the global batch is
+        # assembled across hosts by shard_batch
+        local_rows = jax.local_device_count() * args.batch_size
         loader = DataLoader(
-            ds, n_dev * args.batch_size, tok_clip, tok_open, seed=args.seed
+            ds, local_rows, tok_clip, tok_open,
+            seed=args.seed + jax.process_index(),
         )
         capture_data = (ds, dcfg)
 
@@ -181,8 +208,10 @@ def main(argv=None):
             ),
         )
 
-    with open(os.path.join(args.output_dir, "config.json"), "w") as f:
-        json.dump(config_to_dict(cfg), f, indent=2, default=str)
+    is_main = is_main_process()
+    if is_main:
+        with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+            json.dump(config_to_dict(cfg), f, indent=2, default=str)
 
     ckpt_dir = os.path.join(args.output_dir, "checkpoints")
     if args.resume:
@@ -198,8 +227,9 @@ def main(argv=None):
     import signal
 
     def melk(*_):
-        print("SIGUSR1: writing checkpoint")
-        save_train_state(ckpt_dir, state)
+        if is_main:
+            print("SIGUSR1: writing checkpoint")
+            save_train_state(ckpt_dir, state)
 
     try:
         signal.signal(signal.SIGUSR1, melk)
@@ -207,6 +237,32 @@ def main(argv=None):
         pass
 
     step_fn = jax.jit(trainer.train_step)
+    val_iter = None
+    val_fn = None
+    if args.val_every:
+        if args.smoke:
+            val_batches = _synthetic_batches(args, cfg, tok_clip, tok_open)
+
+            def val_cycle():
+                while True:
+                    yield from val_batches
+        else:
+            val_loader = DataLoader(
+                ds, local_rows, tok_clip, tok_open,
+                seed=args.seed + 10_000 + jax.process_index(),
+            )
+
+            def val_cycle():
+                while True:
+                    yield from val_loader
+
+        val_iter = val_cycle()
+        val_fn = jax.jit(
+            lambda params, batch, key, step: eng.training_loss(
+                params, batch, key, step
+            )
+        )
+    log_images_fn = None
     ema_fn = (
         jax.jit(lambda e, p: ema_update(e, p, args.ema_decay))
         if args.use_ema
@@ -214,12 +270,19 @@ def main(argv=None):
     )
     t_start = time.time()
     images_per_step = n_dev * args.batch_size
-    meter = MetricsLogger(args.output_dir, images_per_step)
+    meter = MetricsLogger(
+        args.output_dir, images_per_step,
+        wandb_project=args.wandb if is_main else None, run_name=args.name,
+    )
     start_step = int(state.step)
+    profile_dir = os.path.join(args.output_dir, "profile")
     try:
         for step in range(start_step, args.max_steps):
+            if args.profile_steps and step == 10 and is_main:
+                jax.profiler.start_trace(profile_dir)
             batch = next(train_iter)
-            batch.pop("txt", None), batch.pop("txt_ref", None)
+            txts = batch.pop("txt", None)
+            batch.pop("txt_ref", None)
             if mesh is not None:
                 batch = shard_batch(batch, mesh)
             key, sub = jax.random.split(key)
@@ -227,9 +290,12 @@ def main(argv=None):
             state, metrics = step_fn(state, batch, sub)
             jax.block_until_ready(state.params["conditioner"]["clip_l"]["modifier_rows"])
             meter.toc()
+            if args.profile_steps and step == 10 + args.profile_steps - 1 and is_main:
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {profile_dir}")
             if ema_fn is not None:
                 ema_state = ema_fn(ema_state, state.params)
-            if step % args.log_every == 0 or step == args.max_steps - 1:
+            if (step % args.log_every == 0 or step == args.max_steps - 1) and is_main:
                 row = meter.log(step, metrics)
                 print(
                     f"step {step}: loss={row.get('loss_total', 0):.4f} "
@@ -238,43 +304,75 @@ def main(argv=None):
                         if k not in ("loss_total", "step")
                     )
                 )
-            if args.ckpt_every and step and step % args.ckpt_every == 0:
+            if args.val_every and step and step % args.val_every == 0:
+                vbatch = next(val_iter)
+                vbatch.pop("txt", None), vbatch.pop("txt_ref", None)
+                if mesh is not None:
+                    vbatch = shard_batch(vbatch, mesh)
+                _, vmetrics = val_fn(
+                    state.params, vbatch, jax.random.PRNGKey(step), state.step
+                )
+                if is_main:
+                    row = meter.log(
+                        step, {f"val_{k}": v for k, v in vmetrics.items()}
+                    )
+                    print(
+                        f"step {step}: val_loss="
+                        f"{row.get('val_loss_total', 0):.4f}"
+                    )
+            if args.ckpt_every and step and step % args.ckpt_every == 0 and is_main:
                 _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
-            if args.full_ckpt_every and step and step % args.full_ckpt_every == 0:
+            if args.full_ckpt_every and step and step % args.full_ckpt_every == 0 and is_main:
                 save_train_state(ckpt_dir, state)
-            if args.sample_every and step and step % args.sample_every == 0:
+            if args.sample_every and step and step % args.sample_every == 0 and is_main:
                 from ..train import save_image_grid
 
-                grids = eng.log_images(
-                    state.params, batch, jax.random.PRNGKey(step), num_steps=8
+                # jitted: eager execution runs the 8-step sampler op-by-op
+                # (minutes per grid on a remote-device transport)
+                if log_images_fn is None:
+                    log_images_fn = jax.jit(
+                        lambda p, b_, k: eng.log_images(p, b_, k, num_steps=8)
+                    )
+                grids = log_images_fn(
+                    state.params, batch, jax.random.PRNGKey(step)
                 )
+                if txts:
+                    from ..train.logging import render_text_image
+
+                    grids["conditioning"] = render_text_image(txts)
                 for name, imgs in grids.items():
-                    save_image_grid(
+                    path = save_image_grid(
                         os.path.join(
                             args.output_dir, "images", f"{name}_{step:06d}.png"
                         ),
                         np.asarray(imgs),
                     )
+                    meter.log_images(step, name, path)
     except KeyboardInterrupt:
         # checkpoint-on-interrupt (the reference's melk/on_exception handlers,
         # main.py:322-329,1053-1072)
-        print("interrupted — writing last checkpoint")
-        save_train_state(ckpt_dir, state)
+        if is_main:
+            print("interrupted — writing last checkpoint")
+            save_train_state(ckpt_dir, state)
         raise
 
-    save_train_state(ckpt_dir, state)
+    if is_main:
+        save_train_state(ckpt_dir, state)
     if args.use_ema:
         state = state._replace(params=ema_swap(state.params, ema_state))
     print(f"training done in {time.time()-t_start:.0f}s")
 
-    # ---- capture + delta export ----
+    # ---- capture + delta export (rank 0 writes; capture math is
+    # deterministic and replicated across processes) ----
     references = None
     if capture_data is not None:
         references = _run_capture(
-            args, eng, state.params, capture_data, tok_clip, tok_open, key
+            args, eng, state.params, capture_data, tok_clip, tok_open, key,
+            write=is_main,
         )
-    _save_delta(args, eng, state.params, references, cfg, tag="last")
-    print(f"delta checkpoint written to {args.output_dir}")
+    if is_main:
+        _save_delta(args, eng, state.params, references, cfg, tag="last")
+        print(f"delta checkpoint written to {args.output_dir}")
 
 
 def _save_delta(args, eng, params, references, cfg, tag):
@@ -285,7 +383,8 @@ def _save_delta(args, eng, params, references, cfg, tag):
     save_delta_npz(os.path.join(args.output_dir, f"delta_{tag}.npz"), delta)
 
 
-def _run_capture(args, eng, params, capture_data, tok_clip, tok_open, key):
+def _run_capture(args, eng, params, capture_data, tok_clip, tok_open, key,
+                 write=True):
     """Forward the onlyref set through the ref stream, collect per-block
     buffers + export cameras (SURVEY §3.4)."""
     import dataclasses as dc
@@ -341,12 +440,13 @@ def _run_capture(args, eng, params, capture_data, tok_clip, tok_open, key):
     )
 
     # cameras export (camera.bin equivalent, main.py:1025-1029)
-    train_cams = stack_cameras(cams)
-    save_cameras_npz(
-        os.path.join(args.output_dir, "cameras.npz"),
-        train=train_cams,
-        val=train_cams,
-    )
+    if write:
+        train_cams = stack_cameras(cams)
+        save_cameras_npz(
+            os.path.join(args.output_dir, "cameras.npz"),
+            train=train_cams,
+            val=train_cams,
+        )
     return references
 
 

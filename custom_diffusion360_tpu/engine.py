@@ -68,6 +68,14 @@ class Engine:
         self.sigmas_discrete = legacy_ddpm_sigmas(
             cfg.loss.num_idx_ref, append_zero=False, flip=True
         )
+        # LPIPS weights imported once (loss_type="lpips", loss.py:31-32)
+        self.lpips_params = None
+        if cfg.loss.loss_type == "lpips" and cfg.loss.lpips_ckpt:
+            from .models.lpips import load_lpips_torch
+
+            self.lpips_params = load_lpips_torch(
+                cfg.loss.lpips_ckpt, cfg.loss.vgg_ckpt
+            )
 
     # -- params --------------------------------------------------------------
 
@@ -170,6 +178,7 @@ class Engine:
             sigmas_cubic=self.sigmas_cubic,
             sigmas_discrete=self.sigmas_discrete,
             cfg=self.cfg.loss,
+            lpips_params=self.lpips_params,
         )
         return combine_losses(
             terms,
@@ -321,12 +330,14 @@ class Engine:
         sigmas = legacy_ddpm_sigmas(n_steps)
         b = shape[0]
 
+        # identical for every view — build once, share across view closures
+        ref_features = None
+        if references is not None:
+            ref_features = self.build_ref_features(
+                references, choices, b, guider.num_copies
+            )
+
         def make_view_fn(cond_j, cams_j):
-            ref_features = None
-            if references is not None:
-                ref_features = self.build_ref_features(
-                    references, choices, b, guider.num_copies
-                )
             network = self.network_fn(
                 params, cams_j, None, training=False, ref_features=ref_features
             )
@@ -405,4 +416,31 @@ class Engine:
             num_steps=num_steps,
         )
         out["samples"] = self.decode_first_stage(params, z_s)
+
+        # FeatureNeRF diagnostics (reference logs predicted_rgb volume
+        # renders + heatmaps, diffusion.py:554-557 / main.py:377-544): one
+        # live dual-stream forward at a mid sigma
+        import math as _math
+
+        k_diag, _ = jax.random.split(k_sample)
+        sig = jnp.full((b,), 3.0)
+        noised = z + sig.reshape(-1, 1, 1, 1) * jax.random.normal(
+            k_diag, z.shape
+        )
+        network = self.network_fn(params, cams, training=False)
+        _, aux = self.denoiser(
+            network, noised, sig, cond,
+            input_ref=zr, sigmas_ref=jnp.zeros((b,)),
+        )
+        for i, rgb in enumerate(aux.get("rgb_list") or []):
+            size = int(_math.sqrt(rgb.shape[1]))
+            out[f"predicted_rgb_{i}"] = (
+                rgb.reshape(b, size, size, 3).astype(jnp.float32) * 2.0 - 1.0
+            )
+        for i, fg in enumerate(aux.get("fg_mask_list") or []):
+            size = int(_math.sqrt(fg.shape[1]))
+            heat = jnp.clip(fg.reshape(b, size, size, 1), 0.0, 1.0)
+            out[f"fg_mask_{i}"] = (
+                jnp.broadcast_to(heat, (b, size, size, 3)) * 2.0 - 1.0
+            )
         return out

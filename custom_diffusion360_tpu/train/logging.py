@@ -18,7 +18,8 @@ import numpy as np
 class MetricsLogger:
     """Rolling step-time + throughput meter; writes metrics.csv."""
 
-    def __init__(self, out_dir: str, images_per_step: int, window: int = 50):
+    def __init__(self, out_dir: str, images_per_step: int, window: int = 50,
+                 wandb_project: Optional[str] = None, run_name: str = ""):
         os.makedirs(out_dir, exist_ok=True)
         self.path = os.path.join(out_dir, "metrics.csv")
         self.images_per_step = images_per_step
@@ -27,6 +28,20 @@ class MetricsLogger:
         self._file = None
         self._writer = None
         self._last = None
+        self._wandb = None
+        if wandb_project:
+            # optional mirror (reference WandbLogger, main.py:843-875);
+            # wandb is not a hard dependency
+            try:
+                import wandb
+
+                self._wandb = wandb
+                wandb.init(project=wandb_project, name=run_name or None,
+                           dir=out_dir)
+            except ImportError as e:
+                raise RuntimeError(
+                    "--wandb requires the wandb package (pip install wandb)"
+                ) from e
 
     def tic(self):
         self._last = time.time()
@@ -66,14 +81,49 @@ class MetricsLogger:
     def log(self, step: int, metrics: dict):
         row = {"step": step, "images_per_min": round(self.images_per_min, 2)}
         row.update({k: float(v) for k, v in metrics.items()})
-        if self._writer is None:
+        if self._writer is None or any(
+            k not in self._writer.fieldnames for k in row
+        ):
+            # new metric keys (e.g. the val_* rows): rewrite with the union
+            fields = list(row) if self._writer is None else list(
+                dict.fromkeys(list(self._writer.fieldnames) + list(row))
+            )
+            if self._file is not None:
+                self._file.close()
             self._file = open(self.path, "a", newline="")
-            self._writer = csv.DictWriter(self._file, fieldnames=list(row))
-            if self._file.tell() == 0:
-                self._writer.writeheader()
+            self._writer = csv.DictWriter(
+                self._file, fieldnames=fields, restval="", extrasaction="ignore"
+            )
+            self._writer.writeheader()
         self._writer.writerow(row)
         self._file.flush()
+        if self._wandb is not None:
+            self._wandb.log(row, step=step)
         return row
+
+    def log_images(self, step: int, name: str, path: str):
+        """Mirror an already-written image grid to wandb."""
+        if self._wandb is not None:
+            self._wandb.log({name: self._wandb.Image(path)}, step=step)
+
+
+def render_text_image(texts, size: int = 256):
+    """Render conditioning prompts as an image row (the reference's
+    log_txt_as_img, sgm/util.py:68-95). Returns (N, size, size, 3) in
+    [-1, 1]."""
+    from PIL import Image, ImageDraw
+
+    out = []
+    for txt in texts:
+        img = Image.new("RGB", (size, size), "white")
+        draw = ImageDraw.Draw(img)
+        nc = max(int(size / 8), 1)
+        lines = "\n".join(
+            txt[i : i + nc] for i in range(0, len(txt), nc)
+        )
+        draw.text((4, 4), lines, fill="black")
+        out.append(np.asarray(img, np.float32) / 127.5 - 1.0)
+    return np.stack(out)
 
 
 def save_image_grid(path: str, images, nrow: int = 4):
