@@ -1,17 +1,27 @@
 #!/usr/bin/env python
 """Flagship benchmark: pose-conditioned SDXL sampling throughput on one chip.
 
+Times the SHIPPED code path — ``Engine.sample`` (render-once NeRF + 50-step
+Euler-EDM lax.scan + CFG guider) plus the VAE decode, jitted exactly as
+``cli/sample.py`` compiles it, with the conditioner embedding timed per
+prompt and amortized over --num_images (the CLI embeds once per prompt and
+reuses it across target poses, mirroring the reference sample.py loop).
+
 Workload = the reference's sample.py headline path (BASELINE.md): 50-step
 Euler-EDM, CFG x2 (VanillaCFGImgRef), 8 reference views from precomputed
-FeatureNeRF buffers, NeRF rendered at step 1 then cached, plus the VAE
-decode. Default 1024^2 output (128^2 latent; the reference samples at 512^2
-— the north-star workload is 1024^2).
+FeatureNeRF delta buffers, NeRF rendered at step 1 then cached. Default
+1024^2 output (128^2 latent; the reference samples at 512^2 — the
+north-star workload is 1024^2).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the driver-supplied north-star of
 2x A100 images/min (BASELINE.json): we take 5 images/min as the A100
 estimate for this pipeline (no number is published by the reference;
 README "Evaluation: to be released"), so baseline = 10 images/min.
+
+``--train`` instead measures training throughput (images/min/chip) of one
+jitted optimizer step at the reference training workload: 512^2, batch 1,
+1 target + 4 reference views (train_co3d_concept.yaml:149-197).
 """
 import argparse
 import json
@@ -40,174 +50,285 @@ def _enable_compile_cache():
         pass
 
 
-def main():
-    _enable_compile_cache()
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--latent", type=int, default=128, help="latent side (128 = 1024^2 image)")
-    ap.add_argument("--steps", type=int, default=50)
-    ap.add_argument("--nref", type=int, default=8)
-    ap.add_argument("--batch", type=int, default=1)
-    ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--iters", type=int, default=10, help="timed step iterations")
-    ap.add_argument("--skip-vae", action="store_true")
-    args = ap.parse_args()
+def _force(t):
+    """block_until_ready can return early over the device tunnel; a scalar
+    host read is the only reliable fence."""
+    import jax.numpy as jnp
 
+    return float(jnp.sum(t.astype(jnp.float32)))
+
+
+def _make_cams(n, seed=1):
+    import numpy as np
+
+    from custom_diffusion360_tpu.geometry.cameras import Cameras
+
+    r = np.random.default_rng(seed)
+    thetas = r.uniform(0, 2 * np.pi, n)
+    Rm = np.zeros((n, 3, 3), np.float32)
+    for i, t in enumerate(thetas):
+        c, s = np.cos(t), np.sin(t)
+        Rm[i] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+    T = np.tile(np.array([0, 0, 2.7], np.float32), (n, 1))
+    return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
+
+
+def _init_on_cpu(fn, key, dtype):
+    """Synthetic device-resident params (eval_shape + bulk RNG): CPU init +
+    host->device shipping of SDXL trees runs at tunnel speed (~6 min);
+    throughput doesn't depend on weight values."""
+    from custom_diffusion360_tpu.utils.fastinit import fast_random_params
+
+    return fast_random_params(fn, key, dtype)
+
+
+def bench_sample(args):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
-    from custom_diffusion360_tpu.diffusion import (
-        Denoiser,
-        DenoiserConfig,
-        legacy_ddpm_sigmas,
-        vanilla_cfg_img_ref,
-    )
-    from custom_diffusion360_tpu.diffusion.sampling import to_d
+    from custom_diffusion360_tpu.diffusion import vanilla_cfg_img_ref
+    from custom_diffusion360_tpu.engine import Engine, EngineConfig
     from custom_diffusion360_tpu.io.delta import iter_pose_blocks
+    from custom_diffusion360_tpu.models.conditioner import (
+        get_unconditional_conditioning,
+        init_conditioner_params,
+    )
     from custom_diffusion360_tpu.models.unet import (
         UNetConfig,
         attn_block_meta,
         init_unet_params,
-        unet_apply,
     )
-    from custom_diffusion360_tpu.models.vae import (
-        VAEConfig,
-        decode_first_stage,
-        init_vae_params,
-    )
-    from custom_diffusion360_tpu.geometry.cameras import Cameras
+    from custom_diffusion360_tpu.models.vae import init_vae_params
 
     dtype = jnp.dtype(args.dtype)
     b, n_ref, latent = args.batch, args.nref, args.latent
-    cfg = UNetConfig()
+    cfg = EngineConfig(
+        unet=UNetConfig(nerf_dtype=args.dtype),
+        compute_dtype=args.dtype,
+        num_sample_steps=args.steps,
+    )
+    eng = Engine(cfg)
     key = jax.random.PRNGKey(0)
 
-    # init on host, ship as bf16 (f32 SDXL params + casts would blow 16 GB HBM)
-    cpu = jax.devices("cpu")[0]
-    with jax.default_device(cpu):
-        params = init_unet_params(key, cfg)
-    dev = jax.devices()[0]
-    params = jax.tree.map(lambda x: jax.device_put(x.astype(dtype), dev), params)
+    params = {
+        "unet": _init_on_cpu(lambda k: init_unet_params(k, cfg.unet), key, dtype),
+        "vae": _init_on_cpu(
+            lambda k: init_vae_params(k, cfg.vae), jax.random.PRNGKey(2), dtype
+        ),
+        "conditioner": _init_on_cpu(
+            lambda k: init_conditioner_params(k, cfg.conditioner),
+            jax.random.PRNGKey(3),
+            dtype,
+        ),
+    }
 
-    meta = attn_block_meta(cfg)
+    # delta-checkpoint reference buffers: {attn_id: {d: (n_ref+1, hw, C)}},
+    # last row = zero-image/uncond features (main.py:611-625)
+    meta = attn_block_meta(cfg.unet)
     rng = np.random.default_rng(0)
-    refs = {}
-    for _, _, attn_id, d in iter_pose_blocks(cfg):
+    references = {}
+    for _, _, attn_id, d in iter_pose_blocks(cfg.unet):
         ds, ch, _ = meta[attn_id]
         hw = (latent // ds) ** 2
-        refs.setdefault(attn_id, {})[d] = jnp.asarray(
-            rng.normal(size=(2 * b, n_ref, hw, ch)).astype(np.float32) * 0.05
+        references.setdefault(attn_id, {})[d] = jnp.asarray(
+            rng.normal(size=(n_ref + 1, hw, ch)).astype(np.float32) * 0.05
         )
-
-    def make_cams(n, seed):
-        r = np.random.default_rng(seed)
-        thetas = r.uniform(0, 2 * np.pi, n)
-        Rm = np.zeros((n, 3, 3), np.float32)
-        for i, t in enumerate(thetas):
-            c, s = np.cos(t), np.sin(t)
-            Rm[i] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
-        T = np.tile(np.array([0, 0, 2.7], np.float32), (n, 1))
-        return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
-
-    cams = make_cams((1 + n_ref) * 2 * b, 1).reshape(2 * b, 1 + n_ref)
+    choices = np.arange(n_ref)
 
     guider = vanilla_cfg_img_ref(scale=7.5)
-    den = Denoiser(DenoiserConfig())
-    sigmas = legacy_ddpm_sigmas(args.steps)
-    ctx = jnp.zeros((b, 77, 2048), dtype)
-    y = jnp.zeros((b, 2816), dtype)
-    cond = {"crossattn": ctx, "vector": y}
-    uc = {"crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
-
-    # params/refs/caches are explicit jit args — closing over them bakes GBs
-    # of constants into the lowering and multiplies compile time
-    def render_step(params, refs, x, sigma):
-        def network(xs, t, c, **kw):
-            return unet_apply(
-                params, cfg, xs, t, c["crossattn"], c["vector"],
-                cams=cams, ref_features=refs, compute_dtype=dtype,
-            )
-
-        s = jnp.full((b,), sigma, jnp.float32)
-        xb, sb, cb = guider.prepare(x, s, cond, uc)
-        denoised, aux = den(network, xb, sb, cb)
-        return guider.combine(denoised, s), aux["rendered"]
-
-    def cached_step(params, caches, x, sigma, next_sigma):
-        def network(xs, t, c, **kw):
-            return unet_apply(
-                params, cfg, xs, t, c["crossattn"], c["vector"],
-                cams=cams, nerf_caches=caches, compute_dtype=dtype,
-            )
-
-        s = jnp.full((b,), sigma, jnp.float32)
-        xb, sb, cb = guider.prepare(x, s, cond, uc)
-        denoised, _ = den(network, xb, sb, cb)
-        denoised = guider.combine(denoised, s)
-        d = to_d(x, s, denoised)
-        return x + (next_sigma - sigma) * d
-
-    x = jax.random.normal(jax.random.PRNGKey(1), (b, latent, latent, 4)) * float(
-        jnp.sqrt(1 + sigmas[0] ** 2)
+    cams_one = _make_cams(1 + n_ref)
+    cams = jax.tree.map(
+        lambda x: jnp.broadcast_to(
+            x[None], (guider.num_copies * b,) + x.shape
+        ),
+        cams_one,
     )
 
-    def force(t):
-        # block_until_ready can return early over the device tunnel; a scalar
-        # host read is the only reliable fence
-        return float(jnp.sum(t.astype(jnp.float32)))
+    # conditioner: once per prompt, like the CLI / reference sample loop
+    tokens = {
+        "tokens_clip": jnp.zeros((b, 77), jnp.int32),
+        "tokens_open": jnp.zeros((b, 77), jnp.int32),
+        "original_size": jnp.full((b, 2), float(latent * 8)),
+        "crop_coords": jnp.zeros((b, 2)),
+        "target_size": jnp.full((b, 2), float(latent * 8)),
+    }
 
-    # first (render) step
-    render_jit = jax.jit(render_step)
-    t0 = time.time()
-    denoised, caches = render_jit(params, refs, x, sigmas[0])
-    force(denoised)
-    compile_first = time.time() - t0
-    t0 = time.time()
-    denoised, caches = render_jit(params, refs, x, sigmas[0])
-    force(denoised)
-    t_first = time.time() - t0
-    d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
-    x = x + (sigmas[1] - sigmas[0]) * d
+    @jax.jit
+    def cond_jit(cparams, batch):
+        return get_unconditional_conditioning(
+            cparams, batch, batch, cfg.conditioner,
+            force_uc_zero_txt=True, ref=False,
+        )
 
-    step_jit = jax.jit(cached_step)
     t0 = time.time()
-    x1 = step_jit(params, caches, x, sigmas[1], sigmas[2])
-    force(x1)
-    compile_step = time.time() - t0
+    c, uc = cond_jit(params["conditioner"], tokens)
+    _force(c["crossattn"])
+    c, uc = (jax.tree.map(lambda x: x.astype(dtype), t) for t in (c, uc))
+    compile_cond = time.time() - t0
     t0 = time.time()
+    c2, _ = cond_jit(params["conditioner"], tokens)
+    _force(c2["crossattn"])
+    t_cond = time.time() - t0
+
+    # the shipped program: Engine.sample + VAE decode, one jit (cli/sample.py)
+    @jax.jit
+    def sample_jit(params, references, cams, c, uc, key):
+        z = eng.sample(
+            params, c, uc, guider, key,
+            shape=(b, latent, latent, 4),
+            cams=cams,
+            references=references,
+            choices=choices,
+            num_steps=args.steps,
+        )
+        return eng.decode_first_stage(params, z.astype(dtype))
+
+    t0 = time.time()
+    img = sample_jit(params, references, cams, c, uc, jax.random.PRNGKey(4))
+    _force(img)
+    compile_sample = time.time() - t0
+
+    times = []
     for i in range(args.iters):
-        x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
-    force(x1)
-    t_step = (time.time() - t0) / args.iters
-
-    t_vae = 0.0
-    if not args.skip_vae:
-        vae_cfg = VAEConfig()
-        vparams = jax.tree.map(
-            lambda a: a.astype(dtype), init_vae_params(jax.random.PRNGKey(2), vae_cfg)
-        )
-        dec = jax.jit(
-            lambda vp, z: decode_first_stage(vp, z.astype(dtype), vae_cfg)
-        )
-        force(dec(vparams, x1))  # compile
         t0 = time.time()
-        force(dec(vparams, x1))
-        t_vae = time.time() - t0
+        img = sample_jit(
+            params, references, cams, c, uc, jax.random.fold_in(key, i)
+        )
+        _force(img)
+        times.append(time.time() - t0)
+    t_sample = min(times)
 
-    total = t_first + (args.steps - 1) * t_step + t_vae
+    total = t_sample + t_cond / max(args.num_images, 1)
     images_per_min = 60.0 * b / total
     result = {
-        "metric": f"images/min 1-chip SDXL {8*latent}^2 {args.steps}-step pose-conditioned sampling (CFGx2, {n_ref} ref views, NeRF render-once)",
+        "metric": (
+            f"images/min 1-chip SDXL {8*latent}^2 {args.steps}-step "
+            f"pose-conditioned sampling (CFGx2, {n_ref} ref views, NeRF "
+            f"render-once, end-to-end Engine.sample)"
+        ),
         "value": round(images_per_min, 3),
         "unit": "images/min",
         "vs_baseline": round(images_per_min / A100_X2_IMAGES_PER_MIN, 3),
     }
     print(json.dumps(result))
     print(
-        f"# t_first={t_first*1e3:.0f}ms t_step={t_step*1e3:.1f}ms t_vae={t_vae*1e3:.0f}ms "
-        f"compile_first={compile_first:.0f}s compile_step={compile_step:.0f}s",
+        f"# t_sample={t_sample:.2f}s (runs: {[round(t,2) for t in times]}) "
+        f"t_cond={t_cond*1e3:.0f}ms compile_sample={compile_sample:.0f}s "
+        f"compile_cond={compile_cond:.0f}s",
         file=sys.stderr,
     )
+
+
+def bench_train(args):
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custom_diffusion360_tpu.engine import Engine, EngineConfig
+    from custom_diffusion360_tpu.models.conditioner import init_conditioner_params
+    from custom_diffusion360_tpu.models.unet import UNetConfig, init_unet_params
+    from custom_diffusion360_tpu.models.vae import init_vae_params
+    from custom_diffusion360_tpu.train.trainer import TrainConfig, Trainer
+
+    dtype = jnp.dtype(args.dtype)
+    s = args.train_res
+    b, n = args.batch, 4
+    cfg = EngineConfig(compute_dtype=args.dtype, unet=UNetConfig())
+    eng = Engine(cfg)
+    trainer = Trainer(eng, TrainConfig())
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "unet": _init_on_cpu(lambda k: init_unet_params(k, cfg.unet), key, dtype),
+        "vae": _init_on_cpu(
+            lambda k: init_vae_params(k, cfg.vae), jax.random.PRNGKey(2), dtype
+        ),
+        "conditioner": _init_on_cpu(
+            lambda k: init_conditioner_params(k, cfg.conditioner),
+            jax.random.PRNGKey(3),
+            dtype,
+        ),
+    }
+    state = trainer.init_state(params)
+
+    rng = np.random.default_rng(0)
+    cams = _make_cams(b * (1 + n)).reshape(b, 1 + n)
+    batch = {
+        "image": jnp.asarray(rng.normal(size=(b, s, s, 3)).astype(np.float32) * 0.3),
+        "image_ref": jnp.asarray(
+            rng.normal(size=(b, n, s, s, 3)).astype(np.float32) * 0.3
+        ),
+        "mask": jnp.ones((b, s // 8, s // 8, 1)),
+        "mask_ref": jnp.ones((b, n, s // 8, s // 8, 1)),
+        "opacity": jnp.ones((b, s // 8, s // 8, 1)),
+        "drop_im": jnp.ones((b,)),
+        "cams": cams,
+        "tokens_clip": jnp.zeros((b, 77), jnp.int32),
+        "tokens_open": jnp.zeros((b, 77), jnp.int32),
+        "tokens_clip_ref": jnp.zeros((b * n, 77), jnp.int32),
+        "tokens_open_ref": jnp.zeros((b * n, 77), jnp.int32),
+        "original_size": jnp.full((b, 2), float(s)),
+        "crop_coords": jnp.zeros((b, 2)),
+        "target_size": jnp.full((b, 2), float(s)),
+        "original_size_ref": jnp.full((b * n, 2), float(s)),
+        "crop_coords_ref": jnp.zeros((b * n, 2)),
+        "target_size_ref": jnp.full((b * n, 2), float(s)),
+    }
+
+    step_jit = jax.jit(trainer.train_step)
+    t0 = time.time()
+    state2, metrics = step_jit(state, batch, jax.random.PRNGKey(1))
+    _force(metrics["loss"])
+    compile_t = time.time() - t0
+
+    times = []
+    for i in range(args.iters):
+        t0 = time.time()
+        state2, metrics = step_jit(state2, batch, jax.random.fold_in(key, i))
+        _force(metrics["loss"])
+        times.append(time.time() - t0)
+    t_step = min(times)
+
+    images_per_min = 60.0 * b / t_step
+    result = {
+        "metric": (
+            f"train images/min/chip SDXL {s}^2 pose-conditioned "
+            f"(batch {b}, {n} ref views, full optimizer step)"
+        ),
+        "value": round(images_per_min, 3),
+        "unit": "images/min",
+        "vs_baseline": None,
+    }
+    print(json.dumps(result))
+    print(
+        f"# t_step={t_step:.2f}s (runs: {[round(t,2) for t in times]}) "
+        f"compile={compile_t:.0f}s loss={float(metrics['loss']):.3f}",
+        file=sys.stderr,
+    )
+
+
+def main():
+    _enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--latent", type=int, default=128,
+                    help="latent side (128 = 1024^2 image)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--nref", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=3, help="timed end-to-end runs")
+    ap.add_argument("--num_images", type=int, default=10,
+                    help="images per prompt (amortizes the conditioner)")
+    ap.add_argument("--train", action="store_true",
+                    help="measure training step throughput instead")
+    ap.add_argument("--train_res", type=int, default=512)
+    args = ap.parse_args()
+
+    if args.train:
+        bench_train(args)
+    else:
+        bench_sample(args)
 
 
 if __name__ == "__main__":

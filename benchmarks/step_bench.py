@@ -1,0 +1,211 @@
+#!/usr/bin/env python
+"""Diagnostic stitched benchmark: times the render step / cached step / VAE
+decode separately at production shapes (the round-1 bench.py, kept for
+per-phase attribution; the headline bench.py times Engine.sample end-to-end).
+
+Workload = the reference's sample.py headline path (BASELINE.md): 50-step
+Euler-EDM, CFG x2 (VanillaCFGImgRef), 8 reference views from precomputed
+FeatureNeRF buffers, NeRF rendered at step 1 then cached, plus the VAE
+decode. Default 1024^2 output (128^2 latent; the reference samples at 512^2
+— the north-star workload is 1024^2).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+vs_baseline is measured against the driver-supplied north-star of
+2x A100 images/min (BASELINE.json): we take 5 images/min as the A100
+estimate for this pipeline (no number is published by the reference;
+README "Evaluation: to be released"), so baseline = 10 images/min.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+A100_X2_IMAGES_PER_MIN = 10.0
+
+
+def _enable_compile_cache():
+    """Persistent compile cache: first bench run on a machine pays the big
+    XLA compile; later runs (and driver re-runs) restore in seconds."""
+    import jax
+
+    cache_dir = os.environ.get(
+        "JAX_COMPILATION_CACHE_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
+    )
+    try:
+        jax.config.update("jax_compilation_cache_dir", cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
+    except Exception:
+        pass
+
+
+def main():
+    _enable_compile_cache()
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--latent", type=int, default=128, help="latent side (128 = 1024^2 image)")
+    ap.add_argument("--steps", type=int, default=50)
+    ap.add_argument("--nref", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--iters", type=int, default=10, help="timed step iterations")
+    ap.add_argument("--skip-vae", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from custom_diffusion360_tpu.diffusion import (
+        Denoiser,
+        DenoiserConfig,
+        legacy_ddpm_sigmas,
+        vanilla_cfg_img_ref,
+    )
+    from custom_diffusion360_tpu.diffusion.sampling import to_d
+    from custom_diffusion360_tpu.io.delta import iter_pose_blocks
+    from custom_diffusion360_tpu.models.unet import (
+        UNetConfig,
+        attn_block_meta,
+        init_unet_params,
+        unet_apply,
+    )
+    from custom_diffusion360_tpu.models.vae import (
+        VAEConfig,
+        decode_first_stage,
+        init_vae_params,
+    )
+    from custom_diffusion360_tpu.geometry.cameras import Cameras
+
+    dtype = jnp.dtype(args.dtype)
+    b, n_ref, latent = args.batch, args.nref, args.latent
+    cfg = UNetConfig(nerf_dtype=args.dtype)
+    key = jax.random.PRNGKey(0)
+
+    from custom_diffusion360_tpu.utils.fastinit import fast_random_params
+    params = fast_random_params(lambda k: init_unet_params(k, cfg), key, dtype)
+
+    meta = attn_block_meta(cfg)
+    rng = np.random.default_rng(0)
+    refs = {}
+    for _, _, attn_id, d in iter_pose_blocks(cfg):
+        ds, ch, _ = meta[attn_id]
+        hw = (latent // ds) ** 2
+        refs.setdefault(attn_id, {})[d] = jnp.asarray(
+            rng.normal(size=(2 * b, n_ref, hw, ch)).astype(np.float32) * 0.05
+        )
+
+    def make_cams(n, seed):
+        r = np.random.default_rng(seed)
+        thetas = r.uniform(0, 2 * np.pi, n)
+        Rm = np.zeros((n, 3, 3), np.float32)
+        for i, t in enumerate(thetas):
+            c, s = np.cos(t), np.sin(t)
+            Rm[i] = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]], np.float32)
+        T = np.tile(np.array([0, 0, 2.7], np.float32), (n, 1))
+        return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
+
+    cams = make_cams((1 + n_ref) * 2 * b, 1).reshape(2 * b, 1 + n_ref)
+
+    guider = vanilla_cfg_img_ref(scale=7.5)
+    den = Denoiser(DenoiserConfig())
+    sigmas = legacy_ddpm_sigmas(args.steps)
+    ctx = jnp.zeros((b, 77, 2048), dtype)
+    y = jnp.zeros((b, 2816), dtype)
+    cond = {"crossattn": ctx, "vector": y}
+    uc = {"crossattn": jnp.zeros_like(ctx), "vector": jnp.zeros_like(y)}
+
+    # params/refs/caches are explicit jit args — closing over them bakes GBs
+    # of constants into the lowering and multiplies compile time
+    def render_step(params, refs, x, sigma):
+        def network(xs, t, c, **kw):
+            return unet_apply(
+                params, cfg, xs, t, c["crossattn"], c["vector"],
+                cams=cams, ref_features=refs, compute_dtype=dtype,
+            )
+
+        s = jnp.full((b,), sigma, jnp.float32)
+        xb, sb, cb = guider.prepare(x, s, cond, uc)
+        denoised, aux = den(network, xb, sb, cb)
+        return guider.combine(denoised, s), aux["rendered"]
+
+    def cached_step(params, caches, x, sigma, next_sigma):
+        def network(xs, t, c, **kw):
+            return unet_apply(
+                params, cfg, xs, t, c["crossattn"], c["vector"],
+                cams=cams, nerf_caches=caches, compute_dtype=dtype,
+            )
+
+        s = jnp.full((b,), sigma, jnp.float32)
+        xb, sb, cb = guider.prepare(x, s, cond, uc)
+        denoised, _ = den(network, xb, sb, cb)
+        denoised = guider.combine(denoised, s)
+        d = to_d(x, s, denoised)
+        return x + (next_sigma - sigma) * d
+
+    x = jax.random.normal(jax.random.PRNGKey(1), (b, latent, latent, 4)) * float(
+        jnp.sqrt(1 + sigmas[0] ** 2)
+    )
+
+    def force(t):
+        # block_until_ready can return early over the device tunnel; a scalar
+        # host read is the only reliable fence
+        return float(jnp.sum(t.astype(jnp.float32)))
+
+    # first (render) step
+    render_jit = jax.jit(render_step)
+    t0 = time.time()
+    denoised, caches = render_jit(params, refs, x, sigmas[0])
+    force(denoised)
+    compile_first = time.time() - t0
+    t0 = time.time()
+    denoised, caches = render_jit(params, refs, x, sigmas[0])
+    force(denoised)
+    t_first = time.time() - t0
+    d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
+    x = x + (sigmas[1] - sigmas[0]) * d
+
+    step_jit = jax.jit(cached_step)
+    t0 = time.time()
+    x1 = step_jit(params, caches, x, sigmas[1], sigmas[2])
+    force(x1)
+    compile_step = time.time() - t0
+    t0 = time.time()
+    for i in range(args.iters):
+        x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
+    force(x1)
+    t_step = (time.time() - t0) / args.iters
+
+    t_vae = 0.0
+    if not args.skip_vae:
+        vae_cfg = VAEConfig()
+        from custom_diffusion360_tpu.utils.fastinit import fast_random_params as frp
+        vparams = frp(lambda k: init_vae_params(k, vae_cfg), jax.random.PRNGKey(2), dtype)
+        dec = jax.jit(
+            lambda vp, z: decode_first_stage(vp, z.astype(dtype), vae_cfg)
+        )
+        force(dec(vparams, x1))  # compile
+        t0 = time.time()
+        force(dec(vparams, x1))
+        t_vae = time.time() - t0
+
+    total = t_first + (args.steps - 1) * t_step + t_vae
+    images_per_min = 60.0 * b / total
+    result = {
+        "metric": f"images/min 1-chip SDXL {8*latent}^2 {args.steps}-step pose-conditioned sampling (CFGx2, {n_ref} ref views, NeRF render-once)",
+        "value": round(images_per_min, 3),
+        "unit": "images/min",
+        "vs_baseline": round(images_per_min / A100_X2_IMAGES_PER_MIN, 3),
+    }
+    print(json.dumps(result))
+    print(
+        f"# t_first={t_first*1e3:.0f}ms t_step={t_step*1e3:.1f}ms t_vae={t_vae*1e3:.0f}ms "
+        f"compile_first={compile_first:.0f}s compile_step={compile_step:.0f}s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()
