@@ -95,6 +95,8 @@ def group_norm(p, x, num_groups=32, eps=1e-6):
     """x: (..., C) channels-last; stats over (spatial..., group-channels).
 
     Matches torch GroupNorm semantics (per-sample, per-group), computed fp32.
+    Stays on the XLA lowering: the fused Pallas variant (ops/norms.py)
+    measured slower in-graph — see that module's docstring.
     """
     orig_dtype = x.dtype
     c = x.shape[-1]
@@ -107,12 +109,22 @@ def group_norm(p, x, num_groups=32, eps=1e-6):
     return (xf * p["scale"] + p["bias"]).astype(orig_dtype)
 
 
+def group_norm_silu(p, x, num_groups=32, eps=1e-6):
+    """silu(group_norm(x)) — the ResBlock / out-head prologue (reference
+    diffusionmodules/util.py:294-311 + SiLU); XLA fuses the pair."""
+    return silu(group_norm(p, x, num_groups, eps))
+
+
 def layer_norm_init(dim):
     return {"scale": jnp.ones((dim,), jnp.float32),
             "bias": jnp.zeros((dim,), jnp.float32)}
 
 
 def layer_norm(p, x, eps=1e-5):
+    # NOTE: a fused Pallas LayerNorm (ops/norms.py) measured ~20 ms SLOWER
+    # per 1024^2 sampling step than this XLA lowering — XLA overlaps the
+    # stats/normalize fusions with neighboring matmuls, while 210 extra
+    # custom calls serialize the schedule. Keep the XLA path.
     xf = x.astype(jnp.float32)
     mean = xf.mean(-1, keepdims=True)
     var = xf.var(-1, keepdims=True)

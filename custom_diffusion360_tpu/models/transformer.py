@@ -267,10 +267,12 @@ def transformer_block_apply(
                 fg_mask=fg_mask, prev_weights=new_prev, alphas=alphas, rgb=rgb,
                 rendered=rendered,
             )
-        fused = linear(
-            p["pose_emb_layers"],
-            jnp.concatenate([xf, rendered.astype(jnp.float32)], axis=-1),
-        )
+        # split the (2C -> C) fusion matmul by input half instead of
+        # materializing the f32 [x | rendered] concat (profiled as pure
+        # copy traffic at 1024^2)
+        c = xf.shape[-1]
+        w = p["pose_emb_layers"]["w"]
+        fused = xf @ w[:c] + rendered.astype(jnp.float32) @ w[c:]
         x = fused.astype(x.dtype)
 
     x = feedforward_apply(p["ff"], layer_norm(p["norm3"], x)) + x

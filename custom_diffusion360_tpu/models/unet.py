@@ -33,6 +33,7 @@ from .nn import (
     conv2d_init,
     group_norm,
     group_norm_init,
+    group_norm_silu,
     linear,
     linear_init,
     silu,
@@ -213,9 +214,9 @@ def _resblock_apply(p, x, emb):
     # ResBlock GroupNorms use torch's default eps=1e-5 (GroupNorm32,
     # diffusionmodules/util.py:294-311) — unlike the eps=1e-6 Normalize of
     # the transformer/VAE norms
-    h = conv2d(p["conv_in"], silu(group_norm(p["norm_in"], x, eps=1e-5)))
+    h = conv2d(p["conv_in"], group_norm_silu(p["norm_in"], x, eps=1e-5))
     h = h + linear(p["emb"], silu(emb))[:, None, None, :].astype(h.dtype)
-    h = conv2d(p["conv_out"], silu(group_norm(p["norm_out"], h, eps=1e-5)))
+    h = conv2d(p["conv_out"], group_norm_silu(p["norm_out"], h, eps=1e-5))
     skip = conv2d(p["skip"], x) if "skip" in p else x
     return skip + h
 
@@ -429,7 +430,7 @@ def unet_apply(
 
     out = conv2d(
         params["out_conv"],
-        silu(group_norm(params["out_norm"], stream.h, eps=1e-5)),
+        group_norm_silu(params["out_norm"], stream.h, eps=1e-5),
     ).astype(x.dtype)
 
     aux = dict(

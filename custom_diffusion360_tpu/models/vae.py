@@ -21,7 +21,15 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.attention import dot_product_attention
-from .nn import conv2d, conv2d_init, group_norm, group_norm_init, silu, upsample_nearest_2x
+from .nn import (
+    conv2d,
+    conv2d_init,
+    group_norm,
+    group_norm_init,
+    group_norm_silu,
+    silu,
+    upsample_nearest_2x,
+)
 
 
 @dataclasses.dataclass(frozen=True)
@@ -39,6 +47,10 @@ class VAEConfig:
 # ---------------------------------------------------------------------------
 # blocks
 # ---------------------------------------------------------------------------
+
+
+def _gn_silu(p, x):
+    return group_norm_silu(p, x, num_groups=min(32, x.shape[-1]))
 
 
 def _gn(p, x):
@@ -61,8 +73,8 @@ def _init_res(key, in_ch, out_ch):
 
 
 def _res_apply(p, x):
-    h = conv2d(p["conv1"], silu(_gn(p["norm1"], x)))
-    h = conv2d(p["conv2"], silu(_gn(p["norm2"], h)))
+    h = conv2d(p["conv1"], _gn_silu(p["norm1"], x))
+    h = conv2d(p["conv2"], _gn_silu(p["norm2"], h))
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x)
     return x + h
@@ -176,7 +188,7 @@ def vae_encode(params, x, cfg: VAEConfig = VAEConfig()):
     h = _res_apply(enc["mid"]["block_1"], h)
     h = _attn_apply(enc["mid"]["attn_1"], h)
     h = _res_apply(enc["mid"]["block_2"], h)
-    h = conv2d(enc["conv_out"], silu(_gn(enc["norm_out"], h)))
+    h = conv2d(enc["conv_out"], _gn_silu(enc["norm_out"], h))
     return conv2d(params["quant_conv"], h)
 
 
@@ -194,7 +206,7 @@ def vae_decode(params, z, cfg: VAEConfig = VAEConfig()):
             h = _res_apply(bp, h)
         if "upsample" in lvl:
             h = conv2d(lvl["upsample"], upsample_nearest_2x(h))
-    return conv2d(dec["conv_out"], silu(_gn(dec["norm_out"], h)))
+    return conv2d(dec["conv_out"], _gn_silu(dec["norm_out"], h))
 
 
 def diagonal_gaussian_sample(key, moments, sample: bool = True):

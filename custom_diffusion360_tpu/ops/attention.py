@@ -62,8 +62,10 @@ def _block_ok(q, k):
         return False
     d = q.shape[-1]
     m = k.shape[1]
-    # whole KV resident in VMEM: scores block (block_q, m_pad) in f32
-    return d % 64 == 0 and m <= 1024
+    # whole KV resident in VMEM: scores block (block_q, m_pad) in f32.
+    # m=4096 (the 1024^2 ds2 self-attention) measured faster single-pass
+    # than the streaming flash kernel (1.41 vs 1.83 ms at b2 h10 d64)
+    return d % 64 == 0 and m <= 4096
 
 
 def dot_product_attention(
@@ -96,11 +98,12 @@ def dot_product_attention(
         from .block_attention import block_attention
 
         qt = jnp.swapaxes(q, 1, 2)
-        kt = jnp.swapaxes(k, 1, 2)
-        vt = jnp.swapaxes(v, 1, 2)
-        # tuned on v5e: small KV (text cross-attn) favors more q-parallelism,
-        # square-ish self-attn favors one big q block
-        bq = 512 if kt.shape[2] <= 128 else min(max(qt.shape[2], 128), 1024)
+        # self-attention passes the same array three times — transpose once
+        kt = qt if k is q else jnp.swapaxes(k, 1, 2)
+        vt = kt if v is k else jnp.swapaxes(v, 1, 2)
+        # tuned on v5e (all-heads kernel): long KV needs a smaller q block
+        # to bound the f32 scores tile; 512 wins everywhere else
+        bq = 256 if kt.shape[2] > 2048 else 512
         out = block_attention(qt, kt, vt, scale, None, bq)
         return jnp.swapaxes(out, 1, 2)
 

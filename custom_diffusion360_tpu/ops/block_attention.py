@@ -32,32 +32,38 @@ except Exception:  # pragma: no cover
     _HAS_PALLAS = False
 
 
-def _attend(q, k, v, scale, kv_len, m_padded, out_dtype):
+def _attend(q, k, v128, scale, kv_len, m_padded, out_dtype):
+    """v128 is V padded to 128 lanes with a ones column at index d: the
+    softmax denominator rides the same MXU pass as e@V (with d=64 the N=64
+    matmul wastes half the lanes anyway, so the widening is free) and the
+    (bq, m)-sized divide pass collapses to (bq, d). The softmax scale folds
+    into the (bq, d) q block here — scaling q in XLA outside the kernel
+    profiled as ~4 ms/step of pure copy traffic."""
+    d = q.shape[-1]
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
     if kv_len < m_padded:
         mask = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) < kv_len
         s = jnp.where(mask, s, -1e30)
     s = s - jnp.max(s, axis=-1, keepdims=True)
-    e = jnp.exp(s)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)
+    e = jnp.exp(s).astype(v128.dtype)
     o = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
-    return o.astype(out_dtype)
+        e, v128, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (bq, 128): [:, :d] = e @ V, [:, d] = sum(e)
+    return (o[:, :d] / o[:, d:d + 1]).astype(out_dtype)
 
 
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded):
-    q = q_ref[0, 0]  # (bq, d)
-    k = k_ref[0, 0]  # (m, d)
-    v = v_ref[0, 0]
-    o_ref[0, 0] = _attend(q, k, v, scale, kv_len, m_padded, o_ref.dtype)
+    o_ref[0, 0] = _attend(
+        q_ref[0, 0], k_ref[0, 0], v_ref[0, 0], scale, kv_len, m_padded,
+        o_ref.dtype,
+    )
 
 
-def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded, heads):
+def _kernel_allheads(q_ref, k_ref, v_ref, o_ref, *, scale, kv_len, m_padded,
+                     heads):
     """One program per (batch, q-block); python-unrolled loop over heads
     amortizes per-program overhead (the chip has a single TensorCore, so
     fewer/bigger programs win)."""
@@ -90,11 +96,30 @@ def _forward(q, k, v, scale, kv_len, block_q):
     kp = _pad_axis(k, 2, 128)
     vp = _pad_axis(v, 2, 128)
     np_, mp = qp.shape[2], kp.shape[2]
+    # V' = [V | 1 | 0...] padded to a lane multiple (see _attend)
+    ncols = -(-(d + 1) // 128) * 128
+    ones = jnp.ones((b, h, mp, 1), vp.dtype)
+    zeros = jnp.zeros((b, h, mp, ncols - d - 1), vp.dtype)
+    v128 = jnp.concatenate([vp, ones, zeros], axis=-1)
 
-    # all heads in one program when VMEM allows: scores h*(bq, mp) f32 are
-    # transient (one head live at a time), q/k/v/o blocks are h*(len, d)
-    vmem_blocks = (2 * h * mp * d + h * np_ * d * 2) * 2 + block_q * mp * 4
-    if vmem_blocks < 10 * 2**20:
+    # all heads in one program when VMEM allows (measured on v5e: fewer,
+    # bigger programs win at every UNet shape; VMEM is 128 MB): double-
+    # buffered q/o and k/v' blocks plus the transient f32 scores tile
+    esize = jnp.dtype(q.dtype).itemsize
+    vmem_bytes = (
+        2 * esize * (2 * h * block_q * d + h * mp * (d + ncols))
+        + 4 * block_q * mp
+    )
+    compiler_params = None
+    if not _INTERPRET:
+        # the scoped-vmem default is 16 MB; the chip has 128 MB. The limit
+        # must also cover operand/result buffers XLA chooses to place in
+        # VMEM around the call, so a flat generous value beats a tight
+        # per-shape estimate.
+        compiler_params = pltpu.CompilerParams(
+            vmem_limit_bytes=96 * 2**20
+        )
+    if vmem_bytes < 64 * 2**20:
         out = pl.pallas_call(
             functools.partial(
                 _kernel_allheads, scale=scale, kv_len=kv_len, m_padded=mp,
@@ -104,30 +129,30 @@ def _forward(q, k, v, scale, kv_len, block_q):
             in_specs=[
                 pl.BlockSpec((1, h, block_q, d), lambda i, t: (i, 0, t, 0)),
                 pl.BlockSpec((1, h, mp, d), lambda i, t: (i, 0, 0, 0)),
-                pl.BlockSpec((1, h, mp, d), lambda i, t: (i, 0, 0, 0)),
+                pl.BlockSpec((1, h, mp, ncols), lambda i, t: (i, 0, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, h, block_q, d), lambda i, t: (i, 0, t, 0)
             ),
             out_shape=jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),
+            compiler_params=compiler_params,
             interpret=_INTERPRET,
-        )(qp, kp, vp)
+        )(qp, kp, v128)
         return out[:, :, :n]
 
     out = pl.pallas_call(
-        functools.partial(
-            _kernel, scale=scale, kv_len=kv_len, m_padded=mp
-        ),
+        functools.partial(_kernel, scale=scale, kv_len=kv_len, m_padded=mp),
         grid=(b, h, np_ // block_q),
         in_specs=[
             pl.BlockSpec((1, 1, block_q, d), lambda i, j, t: (i, j, t, 0)),
             pl.BlockSpec((1, 1, mp, d), lambda i, j, t: (i, j, 0, 0)),
-            pl.BlockSpec((1, 1, mp, d), lambda i, j, t: (i, j, 0, 0)),
+            pl.BlockSpec((1, 1, mp, ncols), lambda i, j, t: (i, j, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, 1, block_q, d), lambda i, j, t: (i, j, t, 0)),
         out_shape=jax.ShapeDtypeStruct((b, h, np_, d), q.dtype),
+        compiler_params=compiler_params,
         interpret=_INTERPRET,
-    )(qp, kp, vp)
+    )(qp, kp, v128)
     return out[:, :, :n]
 
 
@@ -147,7 +172,7 @@ def block_attention(q, k, v, scale, kv_len=None, block_q=512):
 
     q: (b, h, n, d); k, v: (b, h, m, d). m is padded to a multiple of 128;
     kv_len (static) masks padded keys. Requires block_q * m_padded * 4B to
-    fit VMEM (use for m <= ~2048).
+    fit VMEM (use for m <= ~4096).
     """
     if not _HAS_PALLAS or (
         jax.devices()[0].platform != "tpu" and not _INTERPRET
