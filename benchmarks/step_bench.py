@@ -50,6 +50,8 @@ def main():
     ap.add_argument("--nref", type=int, default=8)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
+    ap.add_argument("--nerf_chunk", type=int, default=512,
+                    help="FeatureNeRF ray-chunk size (memory/speed knob)")
     ap.add_argument("--iters", type=int, default=10, help="timed step iterations")
     ap.add_argument("--skip-vae", action="store_true")
     args = ap.parse_args()
@@ -81,7 +83,7 @@ def main():
 
     dtype = jnp.dtype(args.dtype)
     b, n_ref, latent = args.batch, args.nref, args.latent
-    cfg = UNetConfig(nerf_dtype=args.dtype)
+    cfg = UNetConfig(nerf_dtype=args.dtype, nerf_chunk_size=args.nerf_chunk)
     key = jax.random.PRNGKey(0)
 
     from custom_diffusion360_tpu.utils.fastinit import fast_random_params

@@ -41,6 +41,9 @@ def build_parser():
     p.add_argument("--vocab_dir", default=None,
                    help="dir with vocab.json+merges.txt (HF) and/or bpe_simple_vocab_16e6.txt.gz")
     p.add_argument("--dtype", default="bfloat16")
+    p.add_argument("--nerf_chunk", type=int, default=1024,
+                   help="FeatureNeRF ray-chunk size (1024 measured fastest "
+                        "for forward-only sampling; training uses 512)")
     p.add_argument("--translate", choices=["x", "y", "z", "focal"], default=None)
     p.add_argument("--interp_start", type=float, default=-0.3)
     p.add_argument("--interp_end", type=float, default=0.3)
@@ -89,6 +92,7 @@ def main(argv=None):
 
     from ..diffusion import scheduled_cfg_img_text_ref, vanilla_cfg_img_ref
     from ..engine import Engine, EngineConfig
+    from ..models.unet import UNetConfig
     from ..geometry.cameras import (
         interpolate_camera_focal,
         interpolate_camera_translation,
@@ -99,7 +103,12 @@ def main(argv=None):
     from ..models.conditioner import get_unconditional_conditioning
     from ..utils.config import apply_overrides
 
-    cfg = EngineConfig(compute_dtype=args.dtype)
+    cfg = EngineConfig(
+        compute_dtype=args.dtype,
+        unet=UNetConfig(
+            nerf_dtype=args.dtype, nerf_chunk_size=args.nerf_chunk
+        ),
+    )
     if args.smoke:
         from tests.test_engine import TINY_CFG
 

@@ -483,39 +483,67 @@ def nerf_encoding_split(
         fm, grid.reshape(b * n, hw * s, 2), impl=cfg.sample_impl
     ).reshape(b, n, hw, s, -1)
 
-    # per-point view-space geometry (includes the target view at index 0)
-    pts_view = points_to_view_space(cams, ray_points)  # (B, N+1, hw, S, 3)
-    pe_pts = positional_encoding(pts_view, nf)  # (B, N+1, hw, S, 6nf)
-    ptsgeo = jnp.concatenate(
-        [pe_pts[:, 1:], pts_view[:, 1:]], axis=-1
-    ).astype(cdt)
+    # Per-point view-space geometry in COORDINATE-PLANES layout: tensors
+    # shaped (..., coords, P) with the flattened point axis minor. The
+    # reference-shaped (..., P, 3) layout puts 3 elements on the 128-lane
+    # axis — every transform/PE op then moves 42x the logical bytes
+    # (profiled: the plain layout makes geometry ~1/3 of the render cost).
+    p_pts = hw * s
+    pts_t = jnp.swapaxes(ray_points.reshape(b, p_pts, 3), 1, 2)  # (B, 3, P)
+    R, T = cams.R, cams.T  # (B, N+1, 3, 3), (B, N+1, 3)
+    pv = jnp.stack(
+        [
+            pts_t[:, None, 0] * R[..., 0, e][..., None]
+            + pts_t[:, None, 1] * R[..., 1, e][..., None]
+            + pts_t[:, None, 2] * R[..., 2, e][..., None]
+            + T[..., e][..., None]
+            for e in range(3)
+        ],
+        axis=2,
+    )  # (B, N+1, 3, P) — X_view = X . R + T (pytorch3d row-vector)
+
+    # PE planes in the reference's channel order (all sines freq-major,
+    # then all cosines — geometry/rays.positional_encoding)
+    start = -(nf / 2.0)
+    freqs = (2.0 ** (start + jnp.arange(nf, dtype=pv.dtype))) * jnp.pi
+    scaled = pv[:, :, None, :, :] * freqs[None, None, :, None, None]
+    sin = jnp.sin(scaled).reshape(b, n + 1, nf * 3, p_pts)
+    cos = jnp.cos(scaled).reshape(b, n + 1, nf * 3, p_pts)
+    pe = jnp.concatenate([sin, cos], axis=2)  # (B, N+1, 6nf, P)
+
+    # mlp_in geometry segment [pe_pts_view | pts_view], contracted with the
+    # matching l1 rows; output channels-minor to join `sampled`
+    feat = jnp.concatenate([pe[:, 1:], pv[:, 1:]], axis=2).astype(cdt)
     l1w = params["plane_coefs"]["l1"]["w"]
-    h_pre = (
-        sampled[..., :c]
-        + ptsgeo @ l1w[c:s1].astype(cdt)
-        + geo_ray[..., None, :]
-    )
+    h_geo = jnp.einsum(
+        "bnfp,fc->bnpc", feat, l1w[c:s1].astype(cdt)
+    ).reshape(b, n, hw, s, c)
+    h_pre = sampled[..., :c] + h_geo + geo_ray[..., None, :]
     h_act = silu(h_pre)
 
     attn = None
     if not cfg.average:
         _, v1, _ = _nviews_row_splits(cfg)
         vw = params["nviews"]["w"]
-        tgtgeo = jnp.concatenate(
-            [pe_pts[:, :1], pts_view[:, :1]], axis=-1
-        ).astype(cdt)  # constant across views: contract once, broadcast N
-        logit_pts = tgtgeo @ vw[c:v1].astype(cdt)  # (B, 1, hw, S, 1)
+        # attn_in geometry segment for the target view (index 0): constant
+        # across views — contract once, broadcast over N. Single output
+        # column: contract to (B, P), no trailing-1 lane padding.
+        tgt = jnp.concatenate([pe[:, 0], pv[:, 0]], axis=1).astype(cdt)
+        logit_pts = jnp.einsum(
+            "bfp,f->bp", tgt, vw[c:v1, 0].astype(cdt)
+        ).reshape(b, 1, hw, s)
         logits = (
-            sampled[..., c:] + logit_pts + logit_ray[..., None, :]
+            sampled[..., c] + logit_pts + logit_ray[..., :1]
         ).astype(jnp.float32)
-        attn = jax.nn.softmax(logits, axis=1)  # (B, N, hw, S, 1) f32
+        attn = jax.nn.softmax(logits, axis=1)  # (B, N, hw, S) f32
 
+    attn_out = None if attn is None else attn[..., None]  # API: (...,S,1)
     if sigma_only:
         # trick 4: collapse l2 -> pool -> decoder to one C -> 1 contraction
         l2 = params["plane_coefs"]["l2"]
         wd = params["decoder"]["w"]
-        w2d = (l2["w"] @ wd)[:, -1:]  # sigma column
-        h_sig = h_act @ w2d.astype(cdt)  # (B, N, hw, S, 1)
+        w2d = (l2["w"] @ wd)[:, -1]  # sigma column, (C,)
+        h_sig = jnp.einsum("bnwsc,c->bnws", h_act, w2d.astype(cdt))
         if attn is None:
             sigma = jnp.mean(h_sig.astype(jnp.float32), axis=1)
         else:
@@ -523,16 +551,18 @@ def nerf_encoding_split(
                 h_sig * attn.astype(cdt), axis=1, dtype=jnp.float32
             )
         if "b" in l2:
-            sigma = sigma + (l2["b"] @ wd)[-1:]
-        return sigma, attn
+            sigma = sigma + (l2["b"] @ wd)[-1]
+        return sigma[..., None], attn_out
 
     h = linear(params["plane_coefs"]["l2"], h_act)  # (B, N, hw, S, C)
     if attn is None:
         pooled = jnp.mean(h.astype(jnp.float32), axis=1)
     else:
-        pooled = jnp.sum(h * attn.astype(cdt), axis=1, dtype=jnp.float32)
+        pooled = jnp.sum(
+            h * attn[..., None].astype(cdt), axis=1, dtype=jnp.float32
+        )
     out = linear(params["decoder"], pooled)  # f32 (density feeds trunc_exp)
-    return jnp.concatenate([pooled, out], axis=-1), attn
+    return jnp.concatenate([pooled, out], axis=-1), attn_out
 
 
 # ---------------------------------------------------------------------------
@@ -584,29 +614,36 @@ def nerfsd_apply(
             chunk //= 2
         nc = hw // chunk
         b, _, s, _ = points.shape
+        width = 1 if sigma_only else (
+            cfg.dim + 1 + (3 if cfg.rgb_predict else 0)
+        )
 
-        def split_hw(t):
-            # (B, [N,] hw, X) -> (nc, B, [N,] chunk, X) along the hw axis
-            lead = t.shape[:-2]
-            t = t.reshape(lead + (nc, chunk, t.shape[-1]))
-            return jnp.moveaxis(t, -3, 0)
-
-        chunks = {
-            "pts": jnp.moveaxis(points.reshape(b, nc, chunk, s, 3), 1, 0),
-            "geo_ray": split_hw(geo_ray),
-        }
-        if logit_ray is not None:
-            chunks["logit_ray"] = split_hw(logit_ray)
-
+        # scan with dynamic slices in / update-slice out: the previous
+        # lax.map over pre-moveaxis'd chunk stacks materialized ~100 ms of
+        # pure transpose copies per render (profiled); update-slice into
+        # the carried output buffer aliases in place.
         @jax.checkpoint
-        def one(ch):
-            return nerf_encoding_split(
-                params, cams, proj, ch["geo_ray"], ch.get("logit_ray"),
-                ch["pts"], cfg, sigma_only=sigma_only,
+        def body(carry, i):
+            start = i * chunk
+            pts = jax.lax.dynamic_slice_in_dim(points, start, chunk, 1)
+            gr = jax.lax.dynamic_slice_in_dim(geo_ray, start, chunk, 2)
+            lr = (
+                None
+                if logit_ray is None
+                else jax.lax.dynamic_slice_in_dim(logit_ray, start, chunk, 2)
+            )
+            o = nerf_encoding_split(
+                params, cams, proj, gr, lr, pts, cfg, sigma_only=sigma_only
             )[0]
+            return (
+                jax.lax.dynamic_update_slice_in_dim(
+                    carry, o.astype(carry.dtype), start, 1
+                ),
+                None,
+            )
 
-        out = jax.lax.map(one, chunks)
-        out = jnp.moveaxis(out, 0, 1).reshape(b, hw, s, -1)
+        init = jnp.zeros((b, hw, s, width), jnp.float32)
+        out, _ = jax.lax.scan(body, init, jnp.arange(nc))
         return out, None
 
     out, attn = encode(march["ray_points"])

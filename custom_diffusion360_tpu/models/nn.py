@@ -97,16 +97,29 @@ def group_norm(p, x, num_groups=32, eps=1e-6):
     Matches torch GroupNorm semantics (per-sample, per-group), computed fp32.
     Stays on the XLA lowering: the fused Pallas variant (ops/norms.py)
     measured slower in-graph — see that module's docstring.
+
+    Implementation note: statistics are taken per channel and then folded
+    across each group's channels, instead of reshaping to
+    (N, HW, G, C/G) — that reshape puts C/G elements (4 for the VAE) on the
+    128-lane axis and made GroupNorm ~80 ms of a 172 ms 1024^2 VAE decode.
+    Every pass here runs on the full (.., C)-minor layout.
     """
     orig_dtype = x.dtype
     c = x.shape[-1]
     n = x.shape[0]
-    xf = x.astype(jnp.float32).reshape(n, -1, num_groups, c // num_groups)
-    mean = xf.mean(axis=(1, 3), keepdims=True)
-    var = xf.var(axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(x.shape)
-    return (xf * p["scale"] + p["bias"]).astype(orig_dtype)
+    cg = c // num_groups
+    xf = x.astype(jnp.float32).reshape(n, -1, c)
+    # per-channel first+second moments in one pass, folded per group (tiny)
+    s1 = jnp.sum(xf, axis=1)  # (N, C)
+    s2 = jnp.sum(xf * xf, axis=1)
+    cnt = xf.shape[1] * cg
+    mean_g = jnp.sum(s1.reshape(n, num_groups, cg), axis=-1) / cnt  # (N, G)
+    ex2_g = jnp.sum(s2.reshape(n, num_groups, cg), axis=-1) / cnt
+    var_g = jnp.maximum(ex2_g - mean_g * mean_g, 0.0)
+    mean_c = jnp.repeat(mean_g, cg, axis=-1)  # (N, C)
+    inv_c = jnp.repeat(jax.lax.rsqrt(var_g + eps), cg, axis=-1)
+    y = (xf - mean_c[:, None]) * (inv_c[:, None] * p["scale"]) + p["bias"]
+    return y.reshape(x.shape).astype(orig_dtype)
 
 
 def group_norm_silu(p, x, num_groups=32, eps=1e-6):
