@@ -52,7 +52,7 @@ def make_cams(n, seed=0):
     return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
 
 
-def bench_block(b, n, res, c, chunk, imp_next, iters):
+def bench_block(b, n, res, c, chunk, imp_next, iters, dtype="float32"):
     import jax
     import jax.numpy as jnp
 
@@ -62,7 +62,7 @@ def bench_block(b, n, res, c, chunk, imp_next, iters):
         nerfsd_apply,
     )
 
-    cfg = NerfConfig(dim=c, chunk_size=chunk)
+    cfg = NerfConfig(dim=c, chunk_size=chunk, compute_dtype=dtype)
     params = init_nerf_params(jax.random.PRNGKey(0), cfg)
     cams = make_cams(b * (1 + n)).reshape(b, 1 + n)
     xref = jax.random.normal(jax.random.PRNGKey(1), (b, n, res * res, c)) * 0.05
@@ -75,7 +75,7 @@ def bench_block(b, n, res, c, chunk, imp_next, iters):
         )["features"]
 
     t = timeit(full, params, xref, iters=iters)
-    print(f"  nerfsd_apply b{b} n{n} res{res} C{c} imp_next={imp_next}: "
+    print(f"  nerfsd_apply b{b} n{n} res{res} C{c} imp_next={imp_next} {dtype}: "
           f"{t*1e3:.1f} ms")
     return t
 
@@ -165,19 +165,20 @@ def main():
     ap.add_argument("--chunk", type=int, default=512)
     ap.add_argument("--res", type=int, default=0, help="override: smoke res")
     ap.add_argument("--stages", action="store_true")
+    ap.add_argument("--dtype", default="float32")
     args = ap.parse_args()
 
     if args.res:
-        bench_block(2, 8, args.res, 64, args.chunk, False, args.iters)
+        bench_block(2, 8, args.res, 64, args.chunk, False, args.iters, args.dtype)
         if args.stages:
             bench_stages(2, 8, args.res, 64, min(args.chunk, args.res**2),
                          args.iters)
         return
 
     print("== full blocks (production shapes, CFG batch 2, 8 views) ==")
-    bench_block(2, 8, 64, 640, args.chunk, False, args.iters)   # ds2
-    bench_block(2, 8, 32, 1280, args.chunk, False, args.iters)  # ds4
-    bench_block(2, 8, 32, 1280, args.chunk, True, args.iters)   # ds4 + uniform
+    bench_block(2, 8, 64, 640, args.chunk, False, args.iters, args.dtype)   # ds2
+    bench_block(2, 8, 32, 1280, args.chunk, False, args.iters, args.dtype)  # ds4
+    bench_block(2, 8, 32, 1280, args.chunk, True, args.iters, args.dtype)   # ds4 + uniform
     if args.stages:
         print("== stage decomposition (one chunk) ==")
         bench_stages(2, 8, 64, 640, args.chunk, args.iters)

@@ -54,6 +54,16 @@ def main():
                     help="FeatureNeRF ray-chunk size (memory/speed knob)")
     ap.add_argument("--iters", type=int, default=10, help="timed step iterations")
     ap.add_argument("--skip-vae", action="store_true")
+    ap.add_argument("--profile", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the cached-step loop "
+                    "(parse with benchmarks/trace_attrib.py)")
+    ap.add_argument("--dump_hlo", default=None, metavar="FILE",
+                    help="write the compiled cached-step HLO text to FILE")
+    ap.add_argument("--profile_render", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the render step")
+    ap.add_argument("--cached_only", action="store_true",
+                    help="time only the cached step (synthetic caches; "
+                    "skips the render-step compile for fast A/B experiments)")
     args = ap.parse_args()
 
     import jax
@@ -88,6 +98,8 @@ def main():
 
     from custom_diffusion360_tpu.utils.fastinit import fast_random_params
     params = fast_random_params(lambda k: init_unet_params(k, cfg), key, dtype)
+    from custom_diffusion360_tpu.models.transformer import fuse_attention_params
+    params = jax.jit(fuse_attention_params)(params)
 
     meta = attn_block_meta(cfg)
     rng = np.random.default_rng(0)
@@ -156,6 +168,40 @@ def main():
         # host read is the only reliable fence
         return float(jnp.sum(t.astype(jnp.float32)))
 
+    if args.cached_only or (args.dump_hlo and args.iters == 0):
+        # skip the render-step compile: synthesize caches (same shape/dtype
+        # as rendered feats). --cached_only times just the cached step.
+        caches = {
+            aid: {d: jnp.zeros((2 * b,) + r.shape[2:], jnp.float32)
+                  for d, r in blocks.items()}
+            for aid, blocks in refs.items()
+        }
+        step_jit = jax.jit(cached_step)
+        if args.dump_hlo:
+            txt = step_jit.lower(params, caches, x, sigmas[1], sigmas[2]).compile().as_text()
+            with open(args.dump_hlo, "w") as f:
+                f.write(txt)
+            print(f"# wrote {args.dump_hlo} ({len(txt)} bytes)", file=sys.stderr)
+            if args.iters == 0:
+                return
+        t0 = time.time()
+        x1 = step_jit(params, caches, x, sigmas[1], sigmas[2])
+        force(x1)
+        compile_step = time.time() - t0
+        t0 = time.time()
+        for i in range(args.iters):
+            x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
+        force(x1)
+        t_step = (time.time() - t0) / max(args.iters, 1)
+        if args.profile:
+            with jax.profiler.trace(args.profile):
+                for i in range(3):
+                    x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
+                force(x1)
+        print(f"# t_step={t_step*1e3:.1f}ms compile_step={compile_step:.0f}s",
+              file=sys.stderr)
+        return
+
     # first (render) step
     render_jit = jax.jit(render_step)
     t0 = time.time()
@@ -166,10 +212,20 @@ def main():
     denoised, caches = render_jit(params, refs, x, sigmas[0])
     force(denoised)
     t_first = time.time() - t0
+    if args.profile_render:
+        with jax.profiler.trace(args.profile_render):
+            for _ in range(2):
+                denoised, caches = render_jit(params, refs, x, sigmas[0])
+            force(denoised)
     d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
     x = x + (sigmas[1] - sigmas[0]) * d
 
     step_jit = jax.jit(cached_step)
+    if args.dump_hlo:
+        txt = step_jit.lower(params, caches, x, sigmas[1], sigmas[2]).compile().as_text()
+        with open(args.dump_hlo, "w") as f:
+            f.write(txt)
+        print(f"# wrote {args.dump_hlo} ({len(txt)} bytes)", file=sys.stderr)
     t0 = time.time()
     x1 = step_jit(params, caches, x, sigmas[1], sigmas[2])
     force(x1)
@@ -179,6 +235,12 @@ def main():
         x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
     force(x1)
     t_step = (time.time() - t0) / args.iters
+
+    if args.profile:
+        with jax.profiler.trace(args.profile):
+            for i in range(3):
+                x1 = step_jit(params, caches, x1, sigmas[1], sigmas[2])
+            force(x1)
 
     t_vae = 0.0
     if not args.skip_vae:

@@ -253,6 +253,12 @@ class Engine:
         x = x * jnp.sqrt(1.0 + sigmas[0] ** 2)
         b = shape[0]
 
+        # inference-only q/k/v projection fusion (pure re-layout; one concat
+        # per block, amortized over all sampler steps)
+        from .models.transformer import fuse_attention_params
+
+        params = dict(params, unet=fuse_attention_params(params["unet"]))
+
         ref_features = None
         if references is not None:
             ref_features = self.build_ref_features(
@@ -325,10 +331,12 @@ class Engine:
         replicated Cameras. shape: (B, H, _, C) — width derives from stride.
         """
         from .diffusion.sampling import multidiffusion_sample
+        from .models.transformer import fuse_attention_params
 
         n_steps = num_steps or self.cfg.num_sample_steps
         sigmas = legacy_ddpm_sigmas(n_steps)
         b = shape[0]
+        params = dict(params, unet=fuse_attention_params(params["unet"]))
 
         # identical for every view — build once, share across view closures
         ref_features = None

@@ -108,10 +108,14 @@ def group_norm(p, x, num_groups=32, eps=1e-6):
     c = x.shape[-1]
     n = x.shape[0]
     cg = c // num_groups
+    # barrier: without it XLA fuses the convert+square into the producer
+    # conv's epilogue and materializes full-resolution f32 x and x*x pairs
+    # (4x the write traffic; seen as 0.6-1.3 ms fusions in the step trace)
+    xs = jax.lax.optimization_barrier(x).astype(jnp.float32).reshape(n, -1, c)
     xf = x.astype(jnp.float32).reshape(n, -1, c)
     # per-channel first+second moments in one pass, folded per group (tiny)
-    s1 = jnp.sum(xf, axis=1)  # (N, C)
-    s2 = jnp.sum(xf * xf, axis=1)
+    s1 = jnp.sum(xs, axis=1)  # (N, C)
+    s2 = jnp.sum(xs * xs, axis=1)
     cnt = xf.shape[1] * cg
     mean_g = jnp.sum(s1.reshape(n, num_groups, cg), axis=-1) / cnt  # (N, G)
     ex2_g = jnp.sum(s2.reshape(n, num_groups, cg), axis=-1) / cnt
@@ -138,9 +142,13 @@ def layer_norm(p, x, eps=1e-5):
     # per 1024^2 sampling step than this XLA lowering — XLA overlaps the
     # stats/normalize fusions with neighboring matmuls, while 210 extra
     # custom calls serialize the schedule. Keep the XLA path.
+    # barrier: stops XLA fusing the stats reduce into the producer matmul's
+    # epilogue — that fusion forces a transposed ({1,2,0}) activation layout
+    # and runs the dot ~8x off roofline (trace: 0.4 ms per block)
+    xs = jax.lax.optimization_barrier(x).astype(jnp.float32)
+    mean = xs.mean(-1, keepdims=True)
+    var = xs.var(-1, keepdims=True)
     xf = x.astype(jnp.float32)
-    mean = xf.mean(-1, keepdims=True)
-    var = xf.var(-1, keepdims=True)
     xf = (xf - mean) * jax.lax.rsqrt(var + eps)
     return (xf * p["scale"] + p["bias"]).astype(x.dtype)
 

@@ -51,6 +51,11 @@ def bilinear_sample_matmul(
     tx = ix - x0
     ty = iy - y0
 
+    # NOTE (negative result, measured): a "factored" construction — outer
+    # product of per-axis 2-tap one-hots — benched SLOWER (ds2 block 97 ->
+    # 113 ms). XLA fuses this whole 4-corner chain into a single full-size
+    # loop already; the factored form's broadcast reads beat it on paper but
+    # not on the VPU. Keep the direct form.
     iota = jax.lax.broadcasted_iota(jnp.int32, (m, p, h * w), 2)
 
     def corner_onehot(xi, yi, wgt):

@@ -157,3 +157,41 @@ def test_unet_gradients_flow_only_through_target_stream(tiny_params):
     pose_w = tiny_params["input_blocks"][3][1]["blocks"][0]["pose_emb_layers"]["w"]
     gp = jax.grad(loss_wrt_pose)(pose_w)
     assert float(jnp.abs(gp).max()) > 0
+
+
+def test_fused_attention_params_match_unfused(tiny_params):
+    """fuse_attention_params (the inference qkv/kv fusion) must be a pure
+    re-layout: full dual-stream UNet outputs are identical."""
+    from custom_diffusion360_tpu.models.transformer import fuse_attention_params
+
+    x, xr, t, ctx, y, cams = _tiny_inputs()
+    key = jax.random.PRNGKey(1)
+    fused = fuse_attention_params(tiny_params)
+
+    # every transformer block got its projections fused
+    def count(tree, k):
+        n = 0
+        if isinstance(tree, dict):
+            n += int(k in tree)
+            for v in tree.values():
+                n += count(v, k)
+        elif isinstance(tree, list):
+            for v in tree:
+                n += count(v, k)
+        return n
+
+    assert count(fused, "to_qkv") > 0
+    assert count(fused, "to_qkv") == count(tiny_params, "attn1")
+    assert count(fused, "to_kv") == count(tiny_params, "attn2")
+
+    out1, _ = unet_apply(
+        tiny_params, TINY, x, t, ctx, y,
+        input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+        key=key, training=False,
+    )
+    out2, _ = unet_apply(
+        fused, TINY, x, t, ctx, y,
+        input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+        key=key, training=False,
+    )
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
