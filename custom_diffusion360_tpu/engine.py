@@ -106,6 +106,7 @@ class Engine:
         training: bool = False,
         nerf_caches=None,
         ref_features=None,
+        ctx_kv=None,
     ):
         """Returns network(x, t, cond, input_ref=, sigmas_ref=, key=) ->
         (eps, aux) — the callable the Denoiser wraps (wrappers.py:24-35)."""
@@ -126,6 +127,7 @@ class Engine:
                 training=training,
                 nerf_caches=nerf_caches,
                 ref_features=ref_features,
+                ctx_kv=ctx_kv,
                 compute_dtype=self.cfg.dtype,
             )
 
@@ -266,6 +268,21 @@ class Engine:
             )
 
         def make_denoise(nerf_caches, collect_rendered):
+            ctx_kv = None
+            if nerf_caches is not None:
+                # cached phase: the reference stream is skipped, so the UNet
+                # sees exactly the CFG-batched target context every step —
+                # hoist the ~140 text K/V projections out of the scan
+                from .models.unet import precompute_context_kv
+
+                _, _, cb = guider.prepare(x, jnp.zeros((b,)), cond, uc)
+                # the UNet consumes context[:batch]; with live-reference
+                # conds (log_images) cb also carries per-view ref rows after
+                # the target rows — slice to the target rows only
+                ctx = cb["crossattn"][: b * guider.num_copies]
+                ctx_kv = precompute_context_kv(
+                    params["unet"], self.cfg.unet, ctx.astype(self.cfg.dtype)
+                )
             network = self.network_fn(
                 params,
                 cams,
@@ -273,6 +290,7 @@ class Engine:
                 training=False,
                 nerf_caches=nerf_caches,
                 ref_features=None if nerf_caches is not None else ref_features,
+                ctx_kv=ctx_kv,
             )
 
             def denoise(xi, sigma_vec):

@@ -95,16 +95,44 @@ def init_cross_attention(key, query_dim, context_dim, n_heads, d_head, add_lora=
     return p
 
 
-def cross_attention_apply(p, x, context=None, *, n_heads: int):
+def context_kv(p, ctx):
+    """Cross-attention K/V for a fixed context (B, M, Cc) -> ((B, M, inner) x2).
+
+    Matches cross_attention_apply's k/v (including LoRA terms); used to hoist
+    the text-context projections out of the sampler scan — the context is
+    constant across all denoising steps (reference recomputes them every
+    UNet call).
+    """
+    if "to_kv" in p:
+        k, v = jnp.split(linear(p["to_kv"], ctx), 2, axis=-1)
+    else:
+        k = linear(p["to_k"], ctx)
+        v = linear(p["to_v"], ctx)
+    if "lora" in p:
+        lp = p["lora"]
+        k = k + linear(lp["k_up"], linear(lp["k_down"], ctx))
+        v = v + linear(lp["v_up"], linear(lp["v_down"], ctx))
+    return k, v
+
+
+def cross_attention_apply(p, x, context=None, *, n_heads: int, kv=None):
     """x: (B, N, C); context: (B, M, Cc) or None (self-attention).
 
     Accepts either the canonical params (to_q/to_k/to_v) or the inference-
     fused layout from :func:`fuse_attention_params` (to_qkv / to_q+to_kv):
     one wide matmul instead of three square ones — small square matmuls
     measure ~18 TFLOPS on v5e vs ~87 for the fused rectangular shape.
+    kv: optional precomputed (k, v) from :func:`context_kv` (cross-attention
+    with a step-invariant context).
     """
     ctx = x if context is None else context
-    if context is None and "to_qkv" in p:
+    if kv is not None:
+        q = linear(p["to_q"], x)
+        k, v = kv
+        if "lora" in p:
+            lp = p["lora"]
+            q = q + linear(lp["q_up"], linear(lp["q_down"], x))
+    elif context is None and "to_qkv" in p:
         q, k, v = jnp.split(linear(p["to_qkv"], x), 3, axis=-1)
     elif context is not None and "to_kv" in p:
         q = linear(p["to_q"], x)
@@ -113,7 +141,7 @@ def cross_attention_apply(p, x, context=None, *, n_heads: int):
         q = linear(p["to_q"], x)
         k = linear(p["to_k"], ctx)
         v = linear(p["to_v"], ctx)
-    if "lora" in p:
+    if kv is None and "lora" in p:
         lp = p["lora"]
         q = q + linear(lp["q_up"], linear(lp["q_down"], x))
         k = k + linear(lp["k_up"], linear(lp["k_down"], ctx))
@@ -288,13 +316,15 @@ def transformer_block_apply(
     key=None,
     training: bool = False,
     nerf_cache=None,
+    ctx_kv=None,
 ):
     """One BasicTransformerBlock step (reference: attention.py:600-637).
 
     x: (B, hw, C). context_ref: (B, Nref, hw, C) frozen reference activations
     (already detached). nerf_cache: optional precomputed rendered feature
     (B, hw, C) replacing the NeRF render (inference render-once cache,
-    reference sample.py:122-133).
+    reference sample.py:122-133). ctx_kv: optional precomputed (k, v) for
+    the text cross-attention (context_kv; step-invariant context).
 
     Returns (x, aux) with aux = dict(fg_mask, prev_weights, alphas, rgb,
     rendered) — entries None when not an image-cross block.
@@ -303,7 +333,8 @@ def transformer_block_apply(
         p["attn1"], layer_norm(p["norm1"], x), None, n_heads=cfg.n_heads
     ) + x
     x = cross_attention_apply(
-        p["attn2"], layer_norm(p["norm2"], x), context, n_heads=cfg.n_heads
+        p["attn2"], layer_norm(p["norm2"], x), context, n_heads=cfg.n_heads,
+        kv=ctx_kv,
     ) + x
 
     aux = dict(fg_mask=None, prev_weights=prev_weights, alphas=None, rgb=None,
@@ -365,8 +396,14 @@ def spatial_transformer_apply(
     training: bool = False,
     nerf_cache=None,
     ref_features=None,
+    ctx_kv=None,
 ):
     """x: (B, H, W, C) NHWC. xr: (B*Nref, H, W, C) reference stream or None.
+
+    ctx_kv: optional per-depth list of precomputed text cross-attention
+    (k, v) pairs for the TARGET stream's context (see context_kv) — only
+    applied to the target stream (the reference stream attends over its own
+    per-view context).
 
     Returns (x, xr, aux) where aux = dict(fg_masks=[...], alphas=[...],
     rgbs=[...], rendered={d: feats}) collected from image-cross blocks.
@@ -428,6 +465,7 @@ def spatial_transformer_apply(
                 key=bkey,
                 training=training,
                 nerf_cache=None if nerf_cache is None else nerf_cache.get(d),
+                ctx_kv=None if ctx_kv is None else ctx_kv[d],
             )
             prev_weights = aux["prev_weights"]
             if aux["fg_mask"] is not None:
@@ -444,7 +482,10 @@ def spatial_transformer_apply(
                     blk, xr, context_ref, cfg, d, training=False
                 )
                 xr = jax.lax.stop_gradient(xr)
-            x, _ = transformer_block_apply(blk, x, context, cfg, d)
+            x, _ = transformer_block_apply(
+                blk, x, context, cfg, d,
+                ctx_kv=None if ctx_kv is None else ctx_kv[d],
+            )
 
     x = linear(p["proj_out"], x).reshape(b, h, w, c) + x_in
     if run_ref:

@@ -267,6 +267,39 @@ def _mlp2(p, x):
     return linear(p["l2"], silu(linear(p["l1"], x)))
 
 
+def precompute_context_kv(params, cfg: UNetConfig, context):
+    """Per-block text cross-attention K/V for a fixed context.
+
+    context: (B, M, context_dim) — the TARGET context exactly as the UNet
+    will see it (CFG-batched, already cast to the compute dtype). Returns
+    {attn_id: [per-depth (k, v)]} for unet_apply's ``ctx_kv``. The text
+    context is constant across sampler steps, so these ~140 small
+    projections are hoisted out of the denoising loop (the reference
+    recomputes them in every UNet call).
+    """
+    from .transformer import context_kv
+
+    inb, mid, outb, _ = build_unet_spec(cfg)
+    out = {}
+
+    def do_attn(lp, spec):
+        attn_id = spec[3]
+        out[attn_id] = [context_kv(blk["attn2"], context) for blk in lp["blocks"]]
+
+    for lp_block, spec_block in zip(params["input_blocks"], inb):
+        for lp, spec in zip(lp_block, spec_block):
+            if spec[0] == "attn":
+                do_attn(lp, spec)
+    for lp, spec in zip(params["middle_block"], mid):
+        if spec[0] == "attn":
+            do_attn(lp, spec)
+    for lp_block, spec_block in zip(params["output_blocks"], outb):
+        for lp, spec in zip(lp_block, spec_block):
+            if spec[0] == "attn":
+                do_attn(lp, spec)
+    return out
+
+
 # ---------------------------------------------------------------------------
 # forward
 # ---------------------------------------------------------------------------
@@ -303,6 +336,7 @@ def unet_apply(
     training: bool = False,
     nerf_caches=None,
     ref_features=None,
+    ctx_kv=None,
     compute_dtype=jnp.float32,
 ):
     """Denoising forward.
@@ -320,6 +354,10 @@ def unet_apply(
     ref_features: {attn_id: {depth: (B, Nref, hw, C)}} precomputed reference
       buffers (delta-checkpoint 'references'); NeRF renders from these
       instead of a live reference stream (sample.py:86-97).
+    ctx_kv: {attn_id: [per-depth (k, v)]} precomputed text cross-attention
+      projections for a step-invariant context (precompute_context_kv) —
+      inference-only; the target context passed here must equal the one the
+      cache was built from.
 
     Returns (eps, aux) where aux has fg_mask_list, alphas_list, rgb_list,
     rendered ({attn_id: {d: feats}}).
@@ -392,6 +430,7 @@ def unet_apply(
                 training=training,
                 nerf_cache=cache,
                 ref_features=refs,
+                ctx_kv=None if ctx_kv is None else ctx_kv.get(attn_id),
             )
             fg_mask_list.extend(aux["fg_masks"])
             alphas_list.extend(aux["alphas"])

@@ -156,3 +156,45 @@ class TestAttention:
         out_pad = attention_padded_kv(q, kp, vp, kv_len=m)
         out = dot_product_attention(q, k, v)
         np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out), atol=1e-5)
+
+
+class TestBilinearSamplePallas:
+    """Fused one-hot Pallas sampler (interpret mode on CPU)."""
+
+    @pytest.fixture(autouse=True)
+    def interpret_mode(self, monkeypatch):
+        import custom_diffusion360_tpu.ops.onehot_sample as ohs
+
+        monkeypatch.setattr(ohs, "_INTERPRET", True)
+
+    def test_matches_matmul_formulation(self):
+        from custom_diffusion360_tpu.ops.onehot_sample import (
+            bilinear_sample_matmul,
+            bilinear_sample_pallas,
+        )
+
+        key = jax.random.PRNGKey(0)
+        fm = jax.random.normal(key, (3, 8, 8, 16))
+        # include out-of-range points (clip region reads zeros)
+        grid = jax.random.uniform(
+            jax.random.fold_in(key, 1), (3, 20, 2), minval=-1.2, maxval=1.2
+        )
+        got = bilinear_sample_pallas(fm, grid, True, 128)
+        want = bilinear_sample_matmul(fm, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+
+    def test_vjp_matches_matmul_grad(self):
+        from custom_diffusion360_tpu.ops.onehot_sample import (
+            bilinear_sample_matmul,
+            bilinear_sample_pallas,
+        )
+
+        key = jax.random.PRNGKey(2)
+        fm = jax.random.normal(key, (2, 8, 8, 8))
+        grid = jax.random.uniform(
+            jax.random.fold_in(key, 1), (2, 12, 2), minval=-1.0, maxval=1.0
+        )
+
+        g1 = jax.grad(lambda f: jnp.sum(bilinear_sample_pallas(f, grid, True, 128) ** 2))(fm)
+        g2 = jax.grad(lambda f: jnp.sum(bilinear_sample_matmul(f, grid) ** 2))(fm)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)

@@ -195,3 +195,28 @@ def test_fused_attention_params_match_unfused(tiny_params):
         key=key, training=False,
     )
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+
+
+def test_unet_ctx_kv_cache_matches(tiny_params):
+    """Precomputed text cross-attention K/V (precompute_context_kv) must
+    reproduce the per-step projections exactly on the cached path."""
+    from custom_diffusion360_tpu.models.unet import precompute_context_kv
+
+    x, xr, t, ctx, y, cams = _tiny_inputs()
+    key = jax.random.PRNGKey(1)
+    out1, aux = unet_apply(
+        tiny_params, TINY, x, t, ctx, y,
+        input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+        key=key, training=False,
+    )
+    caches = aux["rendered"]
+    # cached path: no ref stream, target context = ctx[:b]
+    ctx_kv = precompute_context_kv(tiny_params, TINY, ctx[:1])
+    out2, _ = unet_apply(
+        tiny_params, TINY, x, t, ctx[:1], y, nerf_caches=caches,
+        ctx_kv=ctx_kv,
+    )
+    out3, _ = unet_apply(
+        tiny_params, TINY, x, t, ctx[:1], y, nerf_caches=caches,
+    )
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(out3), atol=1e-6)
