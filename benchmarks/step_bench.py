@@ -61,6 +61,10 @@ def main():
                     help="write the compiled cached-step HLO text to FILE")
     ap.add_argument("--profile_render", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render step")
+    ap.add_argument("--render_only", action="store_true",
+                    help="time only the render (first) step and exit")
+    ap.add_argument("--render_iters", type=int, default=1,
+                    help="timed render-step iterations (A/B averaging)")
     ap.add_argument("--cached_only", action="store_true",
                     help="time only the cached step (synthetic caches; "
                     "skips the render-step compile for fast A/B experiments)")
@@ -121,7 +125,10 @@ def main():
         T = np.tile(np.array([0, 0, 2.7], np.float32), (n, 1))
         return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
 
-    cams = make_cams((1 + n_ref) * 2 * b, 1).reshape(2 * b, 1 + n_ref)
+    # CFG-replicated cameras, as every shipped caller builds them
+    # (engine/cli replicate the target pose per guider copy)
+    cams_one = make_cams((1 + n_ref) * b, 1).reshape(b, 1 + n_ref)
+    cams = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), cams_one)
 
     guider = vanilla_cfg_img_ref(scale=7.5)
     den = Denoiser(DenoiserConfig())
@@ -208,15 +215,21 @@ def main():
     denoised, caches = render_jit(params, refs, x, sigmas[0])
     force(denoised)
     compile_first = time.time() - t0
+    r_iters = max(1, args.render_iters)
     t0 = time.time()
-    denoised, caches = render_jit(params, refs, x, sigmas[0])
+    for _ in range(r_iters):
+        denoised, caches = render_jit(params, refs, x, sigmas[0])
     force(denoised)
-    t_first = time.time() - t0
+    t_first = (time.time() - t0) / r_iters
     if args.profile_render:
         with jax.profiler.trace(args.profile_render):
             for _ in range(2):
                 denoised, caches = render_jit(params, refs, x, sigmas[0])
             force(denoised)
+    if args.render_only:
+        print(f"# t_first={t_first*1e3:.0f}ms compile_first={compile_first:.0f}s",
+              file=sys.stderr)
+        return
     d = to_d(x, jnp.full((b,), sigmas[0]), denoised)
     x = x + (sigmas[1] - sigmas[0]) * d
 

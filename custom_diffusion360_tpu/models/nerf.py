@@ -588,6 +588,14 @@ def nerfsd_apply(
     plane-feature map projection and the per-ray geometry contractions are
     hoisted out of the ray-chunk loop and shared between the main and the
     uniform-grid (importance-chain) passes.
+
+    (Negative result, don't re-chase: computing ray/PE/one-hot geometry
+    once per *distinct* camera row and broadcasting over the guider's CFG
+    copies — which carry identical cameras in every shipped caller — was
+    measured SLOWER on v5e both as a channel-folded sampling matmul (~2x)
+    and as broadcast-adds with per-copy sampling (+13% on the eligible
+    blocks; trace in NOTES.md). The batched row-per-row form is what XLA
+    schedules best here.)
     """
     resolution = int(math.sqrt(xref.shape[2]))
     march = raymarch(
@@ -618,12 +626,13 @@ def nerfsd_apply(
             cfg.dim + 1 + (3 if cfg.rgb_predict else 0)
         )
 
-        # scan with dynamic slices in / update-slice out: the previous
-        # lax.map over pre-moveaxis'd chunk stacks materialized ~100 ms of
-        # pure transpose copies per render (profiled); update-slice into
-        # the carried output buffer aliases in place.
+        # scan with dynamic slices in / stacked ys out. lax.map over
+        # pre-moveaxis'd chunk stacks materialized ~100 ms of input
+        # transpose copies per render (negative result); ys-stacking and
+        # update-slice-into-carry measured equal (903 vs 902 ms t_first) —
+        # ys kept for the simpler dataflow (no carry buffer).
         @jax.checkpoint
-        def body(carry, i):
+        def body(_, i):
             start = i * chunk
             pts = jax.lax.dynamic_slice_in_dim(points, start, chunk, 1)
             gr = jax.lax.dynamic_slice_in_dim(geo_ray, start, chunk, 2)
@@ -635,15 +644,10 @@ def nerfsd_apply(
             o = nerf_encoding_split(
                 params, cams, proj, gr, lr, pts, cfg, sigma_only=sigma_only
             )[0]
-            return (
-                jax.lax.dynamic_update_slice_in_dim(
-                    carry, o.astype(carry.dtype), start, 1
-                ),
-                None,
-            )
+            return None, o.astype(jnp.float32)
 
-        init = jnp.zeros((b, hw, s, width), jnp.float32)
-        out, _ = jax.lax.scan(body, init, jnp.arange(nc))
+        _, ys = jax.lax.scan(body, None, jnp.arange(nc))
+        out = jnp.moveaxis(ys, 0, 1).reshape(b, hw, s, width)
         return out, None
 
     out, attn = encode(march["ray_points"])
