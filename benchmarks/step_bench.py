@@ -50,8 +50,9 @@ def main():
     ap.add_argument("--nref", type=int, default=8)
     ap.add_argument("--batch", type=int, default=1)
     ap.add_argument("--dtype", default="bfloat16")
-    ap.add_argument("--nerf_chunk", type=int, default=512,
-                    help="FeatureNeRF ray-chunk size (memory/speed knob)")
+    ap.add_argument("--nerf_chunk", type=int, default=1024,
+                    help="FeatureNeRF ray-chunk size (memory/speed knob; "
+                    "matches the bench.py / cli.sample inference default)")
     ap.add_argument("--iters", type=int, default=10, help="timed step iterations")
     ap.add_argument("--skip-vae", action="store_true")
     ap.add_argument("--profile", default=None, metavar="DIR",

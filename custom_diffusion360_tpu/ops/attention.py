@@ -64,8 +64,13 @@ def _block_ok(q, k):
     m = k.shape[1]
     # whole KV resident in VMEM: scores block (block_q, m_pad) in f32.
     # m=4096 (the 1024^2 ds2 self-attention) measured faster single-pass
-    # than the streaming flash kernel (1.41 vs 1.83 ms at b2 h10 d64)
-    return d % 64 == 0 and m <= 4096
+    # than the streaming flash kernel (1.41 vs 1.83 ms at b2 h10 d64).
+    # Short-KV cross-attention (77-token text, m<=128) goes to plain XLA:
+    # the matmuls are tiny there and XLA overlaps them with neighboring
+    # MXU work, while every pallas call is a scheduling sync point —
+    # kernel dispatch measured +6.8 ms/step on the 1024^2 cached step
+    # (130.9 -> 124.1 ms with XLA cross-attn).
+    return d % 64 == 0 and 128 < m <= 4096
 
 
 def dot_product_attention(
