@@ -222,3 +222,52 @@ def upsample_nearest_2x(x):
     n, h, w, c = x.shape
     x = jnp.broadcast_to(x[:, :, None, :, None, :], (n, h, 2, w, 2, c))
     return x.reshape(n, h * 2, w * 2, c)
+
+
+def upsample_conv2d(p, x):
+    """``conv2d(p, upsample_nearest_2x(x))`` without materializing the 2x
+    tensor (subpixel folding).
+
+    Nearest-2x duplication makes each upsampled-grid 3x3 window read at
+    most a 2x2 patch of the original grid, so the composition equals ONE
+    3x3 SAME conv at the low resolution with 4 output groups (one per
+    (di, dj) subpixel; tap weights re-aggregated below) followed by
+    depth-to-space.
+
+    MEASURED NEGATIVE on v5e — kept as a documented alternative, not
+    dispatched: VAE 1024^2 decode 141.6 -> 164.5 ms, UNet cached step
+    124.0 -> 123.2 ms (noise). XLA already fuses the broadcast-upsample
+    into the consuming conv's input (no materialization), so the explicit
+    depth-to-space transpose here only adds a full-resolution copy.
+    """
+    w = p["w"].astype(x.dtype)  # (3, 3, C, C')
+    z = jnp.zeros_like(w[0])
+    # per-dim tap aggregation over the duplicated grid:
+    #   subpixel 0 reads offsets (-1, 0):  [w0, w1+w2, 0]
+    #   subpixel 1 reads offsets (0, +1):  [0, w0+w1, w2]
+    wy = (
+        jnp.stack([w[0], w[1] + w[2], z], axis=0),
+        jnp.stack([z, w[0] + w[1], w[2]], axis=0),
+    )
+
+    def col(wk):
+        zc = jnp.zeros_like(wk[:, 0])
+        return (
+            jnp.stack([wk[:, 0], wk[:, 1] + wk[:, 2], zc], axis=1),
+            jnp.stack([zc, wk[:, 0] + wk[:, 1], wk[:, 2]], axis=1),
+        )
+
+    w00, w01 = col(wy[0])
+    w10, w11 = col(wy[1])
+    wall = jnp.concatenate([w00, w01, w10, w11], axis=-1)  # (3,3,C,4C')
+    y = jax.lax.conv_general_dilated(
+        x, wall, window_strides=(1, 1), padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    n, h, wd, c4 = y.shape
+    cp = c4 // 4
+    y = y.reshape(n, h, wd, 2, 2, cp)  # (.., di, dj, C')
+    y = jnp.transpose(y, (0, 1, 3, 2, 4, 5)).reshape(n, 2 * h, 2 * wd, cp)
+    if "b" in p:
+        y = y + p["b"].astype(x.dtype)
+    return y

@@ -69,7 +69,9 @@ def _block_ok(q, k):
     # the matmuls are tiny there and XLA overlaps them with neighboring
     # MXU work, while every pallas call is a scheduling sync point —
     # kernel dispatch measured +6.8 ms/step on the 1024^2 cached step
-    # (130.9 -> 124.1 ms with XLA cross-attn).
+    # (130.9 -> 124.1 ms with XLA cross-attn). Raising the XLA boundary
+    # to m=1024 (ds4 self-attention) OOMs HBM — the f32 scores tensors
+    # are too large outside the kernel. 128 is the tuned cutover.
     return d % 64 == 0 and 128 < m <= 4096
 
 

@@ -198,3 +198,40 @@ class TestBilinearSamplePallas:
         g1 = jax.grad(lambda f: jnp.sum(bilinear_sample_pallas(f, grid, True, 128) ** 2))(fm)
         g2 = jax.grad(lambda f: jnp.sum(bilinear_sample_matmul(f, grid) ** 2))(fm)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+class TestUpsampleConv2d:
+    """Subpixel-folded upsample conv == conv2d(upsample_nearest_2x(x))
+    (the UNet/VAE up-path composition, openaimodel.py Upsample /
+    model.py:31-44); one low-res conv + depth-to-space, exact."""
+
+    @pytest.mark.parametrize("h,c,co", [(6, 8, 12), (5, 4, 4), (9, 16, 8)])
+    def test_matches_composition(self, h, c, co):
+        from custom_diffusion360_tpu.models.nn import (
+            conv2d,
+            conv2d_init,
+            upsample_conv2d,
+            upsample_nearest_2x,
+        )
+
+        p = conv2d_init(jax.random.PRNGKey(0), c, co, 3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (2, h, h, c))
+        want = conv2d(p, upsample_nearest_2x(x))
+        got = upsample_conv2d(p, x)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-5)
+
+    def test_grad_flows(self):
+        from custom_diffusion360_tpu.models.nn import (
+            conv2d,
+            conv2d_init,
+            upsample_conv2d,
+            upsample_nearest_2x,
+        )
+
+        p = conv2d_init(jax.random.PRNGKey(0), 4, 4, 3)
+        x = jax.random.normal(jax.random.PRNGKey(1), (1, 5, 5, 4))
+        g1 = jax.grad(lambda t: jnp.sum(upsample_conv2d(p, t) ** 2))(x)
+        g2 = jax.grad(
+            lambda t: jnp.sum(conv2d(p, upsample_nearest_2x(t)) ** 2)
+        )(x)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
