@@ -50,6 +50,11 @@ def build_parser():
     p.add_argument("--interp_step", type=float, default=0.1)
     p.add_argument("--override", action="append", default=[],
                    help="config dotlist override, repeatable")
+    p.add_argument("--latency_shard", action="store_true",
+                   help="multi-chip latency mode: shard the guider's CFG "
+                   "copies (and any batch) across all local devices — one "
+                   "image's CFG rows run on different chips with a single "
+                   "latent-sized combine per step (no-op on one device)")
     p.add_argument("--smoke", action="store_true")
     return p
 
@@ -210,6 +215,16 @@ def main(argv=None):
     os.makedirs(args.output_dir, exist_ok=True)
     from PIL import Image
 
+    cfg_sharding = None
+    if args.latency_shard and len(jax.devices()) > 1:
+        from ..parallel.mesh import batch_sharding, make_mesh
+
+        n_rows = guider.num_copies * b
+        n_dev = min(len(jax.devices()), n_rows)
+        while n_rows % n_dev:
+            n_dev -= 1
+        cfg_sharding = batch_sharding(make_mesh(n_dev))
+
     # one compiled program per run: params/references/cams/cond are jit args
     # (closures over concrete arrays would bake GBs of constants in)
     @jax.jit
@@ -221,6 +236,7 @@ def main(argv=None):
             references=references,
             choices=np.asarray(choices) if references else None,
             num_steps=args.num_steps,
+            cfg_sharding=cfg_sharding,
         )
         return eng.decode_first_stage(params, z.astype(dtype))
 

@@ -236,12 +236,21 @@ class Engine:
         mask_ref=None,
         num_steps: Optional[int] = None,
         cache_nerf: bool = True,
+        cfg_sharding=None,
     ):
         """Pose-conditioned sampling -> latents (B, h, w, 4).
 
         Two reference-feature sources: precomputed delta-checkpoint buffers
         (references + choices — the sample.py path) or live reference latents
         (input_ref — the log_images path, diffusion.py:474-557).
+
+        cfg_sharding: optional ``NamedSharding`` over the guider-expanded
+        batch axis (B * num_copies rows) — latency-mode multi-chip sampling:
+        the CFG copies of ONE image are computed on different chips and only
+        the guider combine crosses the ICI (one tiny latent all-gather per
+        step). Pass shardings whose leading axis divides B * num_copies;
+        ``cams``/``references`` inputs should be placed with the same
+        sharding (see tests/test_parallel_sampling.py).
 
         The NeRF render happens once: step 0 runs outside the scan, its
         rendered features become nerf_caches for the scanned remainder (at
@@ -295,6 +304,10 @@ class Engine:
 
             def denoise(xi, sigma_vec):
                 xb, sb, cb = guider.prepare(xi, sigma_vec, cond, uc)
+                if cfg_sharding is not None:
+                    # pin the expanded batch to the cfg axis; XLA propagates
+                    # the partition through the whole UNet body from here
+                    xb = jax.lax.with_sharding_constraint(xb, cfg_sharding)
                 kwargs = {}
                 if nerf_caches is None and input_ref is not None:
                     kwargs = dict(input_ref=input_ref, sigmas_ref=sigmas_ref)

@@ -58,3 +58,57 @@ def test_dp_sampling_over_mesh():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(base), atol=2e-4
     )
+
+
+def test_cfg_sharded_single_image_latency_mode():
+    """Latency-mode multi-chip sampling: the guider's CFG copies of ONE
+    image are sharded across chips (engine.sample cfg_sharding); only the
+    guider combine crosses the mesh. Must match the single-device run and
+    actually partition the program (collectives present)."""
+    import re
+
+    from custom_diffusion360_tpu.parallel.mesh import batch_sharding
+
+    eng = Engine(TINY_CFG)
+    params = eng.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(2)  # CFG axis has guider.num_copies == 2 rows
+    b = 1
+
+    rng = np.random.default_rng(3)
+    refs = {}
+    for _, _, attn_id, d in iter_pose_blocks(TINY_CFG.unet):
+        refs.setdefault(attn_id, {})[d] = jnp.asarray(
+            rng.normal(size=(N + 1, 16, 128)).astype(np.float32) * 0.1
+        )
+    cond = {
+        "crossattn": jnp.ones((b, 16, 96)) * 0.1,
+        "vector": jnp.ones((b, 72)) * 0.1,
+    }
+    guider = vanilla_cfg_img_ref(scale=5.0)
+    cams1 = random_cameras((1 + N) * b, seed=4).reshape(b, 1 + N)
+    cams = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), cams1)
+
+    def sample(params, refs, cond, cams, key, sh=None):
+        return eng.sample(
+            params, cond, cond, guider, key,
+            shape=(b, 8, 8, 4), cams=cams, references=refs,
+            choices=np.arange(N), num_steps=2, cfg_sharding=sh,
+        )
+
+    key = jax.random.PRNGKey(5)
+    base = sample(params, refs, cond, cams, key)
+
+    import functools
+
+    jsample = jax.jit(
+        functools.partial(sample, sh=batch_sharding(mesh))
+    )
+    args = (
+        replicate(params, mesh), replicate(refs, mesh),
+        replicate(cond, mesh), shard_batch(cams, mesh), key,
+    )
+    out = jsample(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-4)
+
+    txt = jsample.lower(*args).compile().as_text()
+    assert re.search(r"all-reduce|all-gather|collective-permute", txt)
