@@ -435,8 +435,21 @@ def _run_capture(args, eng, params, capture_data, tok_clip, tok_open, key,
         eng.cfg.conditioner,
         ref=False,
     )
+    view_sharding = None
+    if jax.device_count() > 1:
+        # multi-chip feature extraction: shard the capture views over the
+        # largest mesh that divides them (reference: per-rank capture +
+        # all_gather, main.py:588-603)
+        from ..parallel.mesh import batch_sharding, make_mesh
+
+        # full-mesh only: params already live replicated on all devices and
+        # mixing meshes of different sizes is a device-assignment error
+        n_views = n_items + 1
+        if n_views % jax.device_count() == 0:
+            view_sharding = batch_sharding(make_mesh())
     references = capture_references(
-        eng, params, images_ref, cam_batch, cond, key
+        eng, params, images_ref, cam_batch, cond, key,
+        view_sharding=view_sharding,
     )
 
     # cameras export (camera.bin equivalent, main.py:1025-1029)

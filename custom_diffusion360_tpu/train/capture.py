@@ -42,19 +42,38 @@ def capture_references(
     *,
     mask_ref=None,
     timestep: float = 500.0,
+    view_sharding=None,
 ):
     """images_ref: (N, H, W, 3) capture images in [-1, 1] — a zero image is
     appended internally for the uncond row. cams: Cameras (1, N+2) — target
     camera first, then one camera per capture image + one for the zero image
     (the reference reuses the last real camera). cond: conditioner output
     covering (1 + N + 1) rows. Returns {attn_id: {d: (N+1, hw, C)}}.
+
+    view_sharding: optional ``NamedSharding`` over the capture-view axis —
+    multi-chip feature extraction: the N+1 reference views run through the
+    VAE encoder + UNet reference stream on different chips (the reference
+    instead splits capture items across DDP ranks and all_gathers,
+    main.py:588-603). Requires (N+1) divisible by the mesh size.
     """
     n = images_ref.shape[0]
     imgs = jnp.concatenate([images_ref, jnp.zeros_like(images_ref[:1])], axis=0)
     k_enc, k_sig, k_noise, k_noise2 = jax.random.split(key, 4)
 
+    if view_sharding is not None:
+        imgs = jax.lax.with_sharding_constraint(imgs, view_sharding)
+
     zr = engine.encode_first_stage(params, imgs, k_enc)  # (N+1, h, w, 4)
     zr = zr[None]  # (1, N+1, h, w, 4)
+    if view_sharding is not None:
+        from jax.sharding import NamedSharding, PartitionSpec
+
+        zr = jax.lax.with_sharding_constraint(
+            zr,
+            NamedSharding(
+                view_sharding.mesh, PartitionSpec(None, *view_sharding.spec)
+            ),
+        )
 
     sigmas_ref = sample_sigmas_discrete(k_sig, engine.sigmas_discrete, 1)
     noise = jax.random.normal(k_noise, zr.shape, zr.dtype)

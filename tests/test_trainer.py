@@ -189,3 +189,36 @@ class TestCapture:
             references=refs, choices=np.arange(n_use), num_steps=2,
         )
         assert np.isfinite(np.asarray(out)).all()
+
+    def test_capture_view_sharded_matches(self, engine_and_params):
+        """Multi-chip capture: views sharded over the mesh produce the same
+        buffers as the unsharded pass (reference splits capture items
+        across DDP ranks + all_gather, main.py:588-603)."""
+        from custom_diffusion360_tpu.parallel import make_mesh, replicate
+        from custom_diffusion360_tpu.parallel.mesh import batch_sharding
+
+        eng, params = engine_and_params
+        n_items = 7  # +1 zero row = 8 views over 8 devices
+        rng = np.random.default_rng(11)
+        imgs = jnp.asarray(
+            rng.uniform(-1, 1, (n_items, RES, RES, 3)).astype(np.float32)
+        )
+        cams = random_cameras(n_items + 2, seed=7).reshape(1, n_items + 2)
+        cond = {
+            "crossattn": jnp.ones((1 + n_items + 1, 16, 96)) * 0.1,
+            "vector": jnp.ones((1 + n_items + 1, 72)) * 0.1,
+        }
+        base = capture_references(
+            eng, params, imgs, cams, cond, jax.random.PRNGKey(0)
+        )
+        mesh = make_mesh()
+        refs = capture_references(
+            eng, replicate(params, mesh), imgs, cams, cond,
+            jax.random.PRNGKey(0), view_sharding=batch_sharding(mesh),
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4
+            ),
+            base, refs,
+        )
