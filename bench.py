@@ -278,7 +278,7 @@ def bench_train(args):
         "target_size_ref": jnp.full((b * n, 2), float(s)),
     }
 
-    step_jit = jax.jit(trainer.train_step)
+    step_jit = jax.jit(trainer.train_step, donate_argnums=(0,))
     t0 = time.time()
     state2, metrics = step_jit(state, batch, jax.random.PRNGKey(1))
     _force(metrics["loss"])

@@ -236,7 +236,9 @@ def main(argv=None):
     except (ValueError, OSError):
         pass
 
-    step_fn = jax.jit(trainer.train_step)
+    # donate the carried state: without it the old and new params+opt trees
+    # coexist and the full-SDXL 512^2 step OOMs a 16 GB v5e chip
+    step_fn = jax.jit(trainer.train_step, donate_argnums=(0,))
     val_iter = None
     val_fn = None
     if args.val_every:

@@ -18,7 +18,7 @@ from custom_diffusion360_tpu.models.clip import ClipTextConfig, init_clip_text_p
 from custom_diffusion360_tpu.models.nerf import NerfConfig, init_nerf_params
 from custom_diffusion360_tpu.models.unet import init_unet_params
 from custom_diffusion360_tpu.models.vae import init_vae_params
-from custom_diffusion360_tpu.io.delta import iter_pose_blocks
+from custom_diffusion360_tpu.io.delta import extract_delta, iter_pose_blocks
 from tests.test_io import (
     TINY_UNET,
     TINY_VAE,
@@ -171,3 +171,33 @@ def test_nerf_parity():
     with jax.default_matmul_precision("float32"):
         rep = parity.check_nerf(sd, TINY_UNET, res=8, n=2, nerf_cfg=ncfg)
     assert rep["nerf_encoding"]["max_abs_diff"] < 1e-4, rep
+
+
+def test_pose_block_parity():
+    """Full dual-stream pose SpatialTransformer vs the torch re-derivation:
+    ref-stream blocks, NeRF encode, per-point text attn, volume render,
+    pose_emb_layers fusion (attention.py:571-886). Uses interval=4 so the
+    transformer has a single chain-free d=0 NeRF block, like every ds2
+    SDXL transformer."""
+    import dataclasses
+
+    cfg = dataclasses.replace(TINY_UNET, poscontrol_interval=4)
+    params = init_unet_params(jax.random.PRNGKey(3), cfg)
+    # perturb the zero-init NeRF decoders so sigma/rgb are observable
+    key = jax.random.PRNGKey(9)
+    from custom_diffusion360_tpu.io.delta import extract_delta, iter_pose_blocks as ipb
+    from custom_diffusion360_tpu.io.delta import _get_block
+
+    for _, path, _, d in ipb(cfg):
+        blk = _get_block(params, path, d)
+        w = blk["pose_featurenerf"]["decoder"]["w"]
+        key, k = jax.random.split(key)
+        blk["pose_featurenerf"]["decoder"]["w"] = (
+            jax.random.normal(k, w.shape) * 0.05
+        )
+    sd = make_unet_sd(params, cfg)
+    delta_sd = extract_delta({"unet": params}, cfg=cfg)
+    with jax.default_matmul_precision("float32"):
+        rep = parity.check_pose_block(sd, delta_sd, cfg)
+    assert rep["pose_block_x"]["max_abs_diff"] < 2e-4, rep
+    assert rep["pose_block_xr"]["max_abs_diff"] < 2e-4, rep

@@ -149,6 +149,43 @@ def check_unet(sd, unet_cfg, res=32, prefix="model.diffusion_model."):
     return {"unet_plain_eps": _stats(np.asarray(ours), ref)}
 
 
+def _nerf_geometry(cams, pts, rays, nf):
+    """Shared NeRF geometry inputs (NDC sample grid + packed PE features) fed
+    to BOTH the JAX and the torch path — pins the MLP packing / grid_sample /
+    pooling composition; the camera math itself is pinned by
+    tests/test_cameras.py + tests/test_rays.py."""
+    import jax.numpy as jnp
+
+    from custom_diffusion360_tpu.geometry.cameras import transform_points_ndc
+    from custom_diffusion360_tpu.geometry.rays import (
+        plucker_parameterization,
+        points_to_view_space,
+        positional_encoding,
+        rays_to_target_space,
+        rays_to_view_space,
+    )
+
+    b, hw, s, _ = pts.shape
+    n = rays.shape[1] - 1
+    ndc = transform_points_ndc(cams, pts.reshape(b, 1, hw * s, 3))
+    grid = jnp.clip(jnp.nan_to_num(-ndc[:, 1:, :, :2]), -1.2, 1.2)
+    pv = points_to_view_space(cams, pts)
+    pe_pv = positional_encoding(pv, nf)
+    rv = rays_to_view_space(cams, rays[:, 0])[:, 1:]
+    civ = jnp.broadcast_to(rv[:, :, :, None, :], (b, n, hw, s, 6))
+    pe_civ = positional_encoding(plucker_parameterization(civ), nf // 2)
+    geo_mlp = jnp.concatenate(
+        [pe_pv[:, 1:], pv[:, 1:], pe_civ, civ[..., 3:]], axis=-1
+    )
+    ct = rays_to_target_space(cams, rays[:, 1:])[..., :3]
+    ct = jnp.broadcast_to(ct[:, :, :, None, :], (b, n, hw, s, 3))
+    pe_ct = positional_encoding(ct, nf)
+    pe_pt = jnp.broadcast_to(pe_pv[:, :1], (b, n, hw, s, pe_pv.shape[-1]))
+    pt = jnp.broadcast_to(pv[:, :1], (b, n, hw, s, 3))
+    geo_attn = jnp.concatenate([pe_pt, pt, ct, pe_ct], axis=-1)
+    return grid, geo_mlp, geo_attn
+
+
 def check_nerf(delta_sd, unet_cfg, res=16, n=3, nerf_cfg=None):
     """One FeatureNeRF encoding vs torch, from raw delta pose keys. The
     geometry inputs (grid + PE features) are produced once by our geometry
@@ -223,24 +260,7 @@ def check_nerf(delta_sd, unet_cfg, res=16, n=3, nerf_cfg=None):
     )
 
     # shared geometry for the torch path
-    hw = res * res
-    nf = cfg.num_freqs
-    ndc = transform_points_ndc(cams, pts.reshape(b, 1, hw * s, 3))
-    grid = jnp.clip(jnp.nan_to_num(-ndc[:, 1:, :, :2]), -1.2, 1.2)
-    pv = points_to_view_space(cams, pts)
-    pe_pv = positional_encoding(pv, nf)
-    rv = rays_to_view_space(cams, rays[:, 0])[:, 1:]
-    civ = jnp.broadcast_to(rv[:, :, :, None, :], (b, n, hw, s, 6))
-    pe_civ = positional_encoding(plucker_parameterization(civ), nf // 2)
-    geo_mlp = jnp.concatenate(
-        [pe_pv[:, 1:], pv[:, 1:], pe_civ, civ[..., 3:]], axis=-1
-    )
-    ct = rays_to_target_space(cams, rays[:, 1:])[..., :3]
-    ct = jnp.broadcast_to(ct[:, :, :, None, :], (b, n, hw, s, 3))
-    pe_ct = positional_encoding(ct, nf)
-    pe_pt = jnp.broadcast_to(pe_pv[:, :1], (b, n, hw, s, pe_pv.shape[-1]))
-    pt = jnp.broadcast_to(pv[:, :1], (b, n, hw, s, 3))
-    geo_attn = jnp.concatenate([pe_pt, pt, ct, pe_ct], axis=-1)
+    grid, geo_mlp, geo_attn = _nerf_geometry(cams, pts, rays, cfg.num_freqs)
 
     ref, attn_ref = torch_ref.nerf_encoding(
         delta_sd, nerf_p,
@@ -251,6 +271,102 @@ def check_nerf(delta_sd, unet_cfg, res=16, n=3, nerf_cfg=None):
         average=cfg.average,
     )
     return {"nerf_encoding": _stats(np.asarray(ours), ref.numpy())}
+
+
+def check_pose_block(sd, delta_sd, unet_cfg, res=8, n=2):
+    """Full dual-stream pose SpatialTransformer vs torch, from raw base +
+    delta keys: reference-stream blocks, NeRF encode, per-point text
+    cross-attention, trunc_exp + volume render, pose_emb_layers fusion, FF,
+    proj in/out — the complete composition of attention.py:571-886. Picks
+    the first pose block whose transformer has a single d=0 NeRF block and
+    no importance chain (every ds2 SDXL transformer: depth 2 < interval 4)."""
+    import jax
+    import jax.numpy as jnp
+    import torch
+
+    from custom_diffusion360_tpu.geometry.cameras import Cameras
+    from custom_diffusion360_tpu.io.delta import (
+        apply_delta_state_dict,
+        iter_pose_blocks,
+    )
+    from custom_diffusion360_tpu.io.torch_convert import convert_unet_state_dict
+    from custom_diffusion360_tpu.models.nerf import raymarch
+    from custom_diffusion360_tpu.models.transformer import (
+        spatial_transformer_apply,
+    )
+    from custom_diffusion360_tpu.models.unet import attn_block_meta
+    from tools import torch_ref
+
+    meta = attn_block_meta(unet_cfg)
+    pick = None
+    for prefix, path, attn_id, d in iter_pose_blocks(unet_cfg):
+        _, ch, depth = meta[attn_id]
+        tcfg = unet_cfg.transformer_config(ch, depth, attn_id)
+        if d == 0 and depth < tcfg.poscontrol_interval:
+            pick = (prefix, path, attn_id, ch, depth, tcfg)
+            break
+    if pick is None:
+        return {"pose_block": {"skipped": "no chain-free pose block"}}
+    prefix, path, attn_id, ch, depth, tcfg = pick
+
+    params = {"unet": convert_unet_state_dict(sd, unet_cfg)}
+    params, _ = apply_delta_state_dict(params, delta_sd, unet_cfg)
+    if path[0] == "middle_block":
+        stp = params["unet"]["middle_block"][path[1]]
+    else:
+        stp = params["unet"][path[0]][path[1]][path[2]]
+
+    rng = np.random.default_rng(6)
+    b = 1
+    th = rng.uniform(0, 2 * np.pi, (b * (1 + n),))
+    R = np.stack([
+        np.array([[np.cos(t), 0, np.sin(t)], [0, 1, 0],
+                  [-np.sin(t), 0, np.cos(t)]], np.float32) for t in th
+    ])
+    cams = Cameras.create(
+        R, np.tile(np.array([0, 0, 2.7], np.float32), (b * (1 + n), 1)),
+        2.0, 0.0,
+    ).reshape(b, 1 + n)
+    x = jnp.asarray(rng.normal(size=(b, res, res, ch)).astype(np.float32) * 0.2)
+    xr = jnp.asarray(
+        rng.normal(size=(b * n, res, res, ch)).astype(np.float32) * 0.2
+    )
+    ctx = jnp.asarray(
+        rng.normal(size=(b, 12, tcfg.context_dim)).astype(np.float32) * 0.2
+    )
+    ctx_ref = jnp.asarray(
+        rng.normal(size=(b * n, 12, tcfg.context_dim)).astype(np.float32) * 0.2
+    )
+
+    ours_x, ours_xr, _ = spatial_transformer_apply(
+        stp, x, ctx, tcfg, xr=xr, context_ref=ctx_ref, cams=cams,
+        key=None, training=False,
+    )
+
+    ncfg = tcfg.nerf
+    march = raymarch(cams, res, ncfg, None, False)
+    grid, geo_mlp, geo_attn = _nerf_geometry(
+        cams, march["ray_points"], march["rays"], ncfg.num_freqs
+    )
+    sd2 = dict(sd)
+    sd2.update(delta_sd)
+    sp_prefix = prefix.rsplit(".transformer_blocks", 1)[0]
+    t = lambda a: torch.from_numpy(np.asarray(a))
+    ref_x, ref_xr = torch_ref.pose_spatial_transformer(
+        sd2, sp_prefix,
+        t(x).permute(0, 3, 1, 2), t(xr).permute(0, 3, 1, 2),
+        t(ctx), t(ctx_ref), depth, tcfg.n_heads,
+        t(grid), t(geo_mlp), t(geo_attn),
+        t(march["dists"][..., None]), rgb_predict=ncfg.rgb_predict,
+    )
+    return {
+        "pose_block_x": _stats(
+            np.asarray(ours_x), ref_x.permute(0, 2, 3, 1).numpy()
+        ),
+        "pose_block_xr": _stats(
+            np.asarray(ours_xr), ref_xr.permute(0, 2, 3, 1).numpy()
+        ),
+    }
 
 
 def check_sample_fingerprint(params, references, unet_cfg, res=64, steps=3):
@@ -303,7 +419,7 @@ def main(argv=None):
     ap.add_argument("--base_ckpt", required=True)
     ap.add_argument("--delta_ckpt", default=None)
     ap.add_argument("--report", default="parity_report.json")
-    ap.add_argument("--modules", default="vae,clip_l,open_clip,unet,nerf,sample")
+    ap.add_argument("--modules", default="vae,clip_l,open_clip,unet,nerf,pose_block,sample")
     ap.add_argument("--res", type=int, default=256, help="VAE input res")
     ap.add_argument("--unet_res", type=int, default=32, help="UNet latent res")
     args = ap.parse_args(argv)
@@ -347,6 +463,8 @@ def main(argv=None):
             )
             if "nerf" in mods and delta.get("pose"):
                 report.update(check_nerf(delta["pose"], UNetConfig()))
+            if "pose_block" in mods and delta.get("pose"):
+                report.update(check_pose_block(sd, delta["pose"], UNetConfig()))
             if "sample" in mods:
                 params = load_sdxl_checkpoint(args.base_ckpt)
                 params, references = apply_delta_state_dict(

@@ -336,3 +336,89 @@ def nerf_encoding(sd, prefix, xref, grid, geo_mlp, geo_attn, average=False):
         pooled = (h * attn).sum(dim=1)
     out = _lin(sd, prefix + ".decoder", pooled)
     return torch.cat([pooled, out], dim=-1), attn
+
+
+def _attn_layer(sd, p, x, context, heads):
+    return _lin(sd, p + ".to_out.0", _sdpa(
+        _lin(sd, p + ".to_q", x), _lin(sd, p + ".to_k", context),
+        _lin(sd, p + ".to_v", context), heads))
+
+
+def _volume_render(feats, sigma, dists, rgb=None):
+    """Alpha compositing with exclusive-cumsum transmittance (VolRender,
+    nerfsd_pytorch3d.py:170-231). feats (..., S, C); sigma/dists (..., S, 1)."""
+    dd = dists * sigma
+    alphas = 1.0 - torch.exp(-dd)
+    trans = torch.exp(-(torch.cumsum(dd, dim=-2) - dd))
+    weights = torch.nan_to_num(alphas * trans)
+    out = (weights * feats).sum(dim=-2)
+    rgb_out = (weights * rgb).sum(dim=-2) if rgb is not None else None
+    return out, weights.sum(dim=-2), rgb_out
+
+
+def pose_spatial_transformer(
+    sd, p, x, xr, context, context_ref, depth, heads,
+    grid, geo_mlp, geo_attn, dists, rgb_predict=True,
+):
+    """Dual-stream SpatialTransformer with the d=0 FeatureNeRF pose block
+    (SpatialTransformer dual path + BasicTransformerBlock.reference_attn,
+    attention.py:571-886), from raw sgm/delta key names.
+
+    x: (B, C, H, W) target; xr: (B*N, C, H, W) reference stream;
+    grid/geo_mlp/geo_attn: NeRF geometry (see parity._nerf_geometry),
+    dists: (B, hw, S, 1). LoRA ships zero-initialized in deltas (up-proj
+    zeros, main.py:616-623), so its contribution is exactly zero and it is
+    omitted here. No importance chain (real ds2 blocks: depth 2 < interval
+    4, attention.py:781).
+    """
+    b, c, hh, ww = x.shape
+    n = xr.shape[0] // b
+    x_in, xr_in = x, xr
+
+    def tokens(t):
+        return _lin(sd, p + ".proj_in",
+                    _gn(sd, p + ".norm", t, 1e-6)
+                    .reshape(t.shape[0], c, hh * ww).transpose(1, 2))
+
+    h, hr = tokens(x), tokens(xr)
+    for d in range(depth):
+        bp = f"{p}.transformer_blocks.{d}"
+        hr = _basic_block(sd, bp, hr, context_ref, heads)
+        if d == 0:
+            h = h + _attn_layer(sd, bp + ".attn1", _ln(sd, bp + ".norm1", h),
+                                _ln(sd, bp + ".norm1", h), heads)
+            h = h + _attn_layer(sd, bp + ".attn2", _ln(sd, bp + ".norm2", h),
+                                context, heads)
+            # reference_attn: NeRF encode -> per-point text attn -> render
+            xref = hr.reshape(b, n, hh * ww, c)
+            nerf_p = bp + ".pose_featurenerf.model"
+            out, _ = nerf_encoding(sd, nerf_p, xref.reshape(b, n, hh, ww, c),
+                                   grid, geo_mlp, geo_attn)
+            s = geo_mlp.shape[3]
+            sigma = out[..., -1:]
+            feats = out[..., :-1]
+            rgb = None
+            if rgb_predict:
+                rgb = torch.sigmoid(feats[..., -3:])
+                feats = feats[..., :-3]
+            fl = feats.reshape(b, hh * ww * s, c)
+            fl = fl + _attn_layer(sd, bp + ".attn2", _ln(sd, bp + ".norm2", fl),
+                                  context, heads)
+            feats = fl.reshape(b, hh * ww, s, c)
+            # trunc_exp: plain exp forward (clamp is backward-only,
+            # nerfsd truncexp semantics)
+            rendered, _, _ = _volume_render(feats, torch.exp(sigma), dists, rgb)
+            h = _lin(sd, bp + ".pose_emb_layers",
+                     torch.cat([h, rendered], dim=-1))
+            hf = _ln(sd, bp + ".norm3", h)
+            hf = _lin(sd, bp + ".ff.net.0.proj", hf)
+            a, gate = hf.chunk(2, dim=-1)
+            h = h + _lin(sd, bp + ".ff.net.2", a * F.gelu(gate))
+        else:
+            h = _basic_block(sd, bp, h, context, heads)
+
+    def unproj(t, t_in):
+        return (_lin(sd, p + ".proj_out", t)
+                .transpose(1, 2).reshape(t_in.shape) + t_in)
+
+    return unproj(h, x_in), unproj(hr, xr_in)
