@@ -33,6 +33,11 @@ def build_parser():
     p.add_argument("--scale_im", type=float, default=3.5,
                    help=">0 selects the x3 image+text guider (sample.py:228-240)")
     p.add_argument("--num_steps", type=int, default=50)
+    p.add_argument("--sampler", default="euler_edm",
+                   choices=["euler_edm", "heun_edm", "euler_ancestral",
+                            "dpmpp2s_ancestral", "dpmpp2m", "lms"],
+                   help="sampler (reference: config-selectable sampler "
+                   "classes; sample.py uses EulerEDM)")
     p.add_argument("--num_ref", type=int, default=8)
     p.add_argument("--num_images", type=int, default=4, help="target poses to sample")
     p.add_argument("--resolution", type=int, default=512)
@@ -237,6 +242,7 @@ def main(argv=None):
             choices=np.asarray(choices) if references else None,
             num_steps=args.num_steps,
             cfg_sharding=cfg_sharding,
+            sampler=args.sampler,
         )
         return eng.decode_first_stage(params, z.astype(dtype))
 

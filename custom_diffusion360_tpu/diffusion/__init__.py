@@ -37,6 +37,7 @@ from .guiders import (
 )
 from .sampling import (
     SamplerConfig,
+    SAMPLERS,
     euler_edm_sample,
     heun_edm_sample,
     euler_ancestral_sample,

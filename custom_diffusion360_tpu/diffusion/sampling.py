@@ -373,3 +373,17 @@ def multidiffusion_sample(
 
     x, _ = jax.lax.scan(step, x, (sigmas[:-1], sigmas[1:], gammas))
     return x
+
+
+# Single-pose sampler registry (reference: config-instantiated sampler
+# classes, sgm/modules/diffusionmodules/sampling.py; selected via
+# EngineConfig.sampler_name / cli.sample --sampler). All share the
+# (denoise_fn, x, sigmas, cfg, *, key, scale_init) signature.
+SAMPLERS = {
+    "euler_edm": euler_edm_sample,
+    "heun_edm": heun_edm_sample,
+    "euler_ancestral": euler_ancestral_sample,
+    "dpmpp2s_ancestral": dpmpp2s_ancestral_sample,
+    "dpmpp2m": dpmpp2m_sample,
+    "lms": linear_multistep_sample,
+}

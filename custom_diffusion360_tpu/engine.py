@@ -49,6 +49,7 @@ class EngineConfig:
     denoiser: DenoiserConfig = DenoiserConfig()
     loss: DiffusionLossConfig = DiffusionLossConfig()
     sampler: SamplerConfig = SamplerConfig()
+    sampler_name: str = "euler_edm"  # key into diffusion.SAMPLERS
     num_sample_steps: int = 50
     compute_dtype: str = "float32"  # UNet autocast: fp32 train (openaimodel.py:992)
 
@@ -237,8 +238,14 @@ class Engine:
         num_steps: Optional[int] = None,
         cache_nerf: bool = True,
         cfg_sharding=None,
+        sampler: Optional[str] = None,
     ):
         """Pose-conditioned sampling -> latents (B, h, w, 4).
+
+        sampler: diffusion.SAMPLERS key overriding cfg.sampler_name
+        (euler_edm / heun_edm / euler_ancestral / dpmpp2s_ancestral /
+        dpmpp2m / lms — the reference's config-selectable sampler classes,
+        sgm sampling.py).
 
         Two reference-feature sources: precomputed delta-checkpoint buffers
         (references + choices — the sample.py path) or live reference latents
@@ -259,10 +266,14 @@ class Engine:
         """
         n_steps = num_steps or self.cfg.num_sample_steps
         sigmas = legacy_ddpm_sigmas(n_steps)
-        k_noise, _ = jax.random.split(key)
+        k_noise, k_samp = jax.random.split(key)
         x = jax.random.normal(k_noise, shape, jnp.float32)
         x = x * jnp.sqrt(1.0 + sigmas[0] ** 2)
         b = shape[0]
+        from .diffusion.sampling import SAMPLERS
+
+        name = sampler or self.cfg.sampler_name
+        sampler_fn = SAMPLERS[name]
 
         # inference-only q/k/v projection fusion (pure re-layout; one concat
         # per block, amortized over all sampler steps)
@@ -320,20 +331,34 @@ class Engine:
 
         has_nerf_source = bool(ref_features) or input_ref is not None
         if cache_nerf and has_nerf_source:
-            # unrolled step 0: render NeRF, capture caches
             s0 = jnp.full((b,), sigmas[0], jnp.float32)
             denoise0 = make_denoise(None, True)
             denoised, rendered = denoise0(x, s0)
-            d = to_d(x, s0, denoised)
-            x = x + (sigmas[1] - sigmas[0]) * d
             denoise_rest = make_denoise(rendered if rendered else None, False)
-            x = euler_edm_sample(
-                denoise_rest, x, sigmas[1:], self.cfg.sampler, scale_init=False
-            )
+            if name == "euler_edm":
+                # unrolled Euler step 0 reuses the render pass's denoised —
+                # no duplicate network eval
+                d = to_d(x, s0, denoised)
+                x = x + (sigmas[1] - sigmas[0]) * d
+                x = euler_edm_sample(
+                    denoise_rest, x, sigmas[1:], self.cfg.sampler,
+                    key=k_samp, scale_init=False,
+                )
+            else:
+                # other samplers: the render pass only builds the caches; the
+                # sampler re-evaluates step 0 through the cached network
+                # (identical output — the render is sigma-independent) so its
+                # own step structure (Heun correction, ancestral noise,
+                # multistep history) stays exact. Costs one extra cached eval.
+                x = sampler_fn(
+                    denoise_rest, x, sigmas, self.cfg.sampler,
+                    key=k_samp, scale_init=False,
+                )
         else:
             denoise = make_denoise(None, False)
-            x = euler_edm_sample(
-                denoise, x, sigmas, self.cfg.sampler, scale_init=False
+            x = sampler_fn(
+                denoise, x, sigmas, self.cfg.sampler, key=k_samp,
+                scale_init=False,
             )
         return x
 

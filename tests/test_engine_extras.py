@@ -76,3 +76,59 @@ class TestScheduledOptimizer:
         # later step: nonzero multiplier -> params move
         state2, _ = trainer.train_step(state1, batch, jax.random.PRNGKey(2))
         assert not np.allclose(leaf(state1), leaf(state2), atol=1e-9)
+
+
+class TestSamplerSelection:
+    """Every diffusion.SAMPLERS entry is reachable from Engine.sample
+    (reference: config-selectable sampler classes, sgm sampling.py); the
+    Euler fast path (unrolled render step 0) must equal the generic cached
+    route the other samplers take."""
+
+    def _setup(self, engine_and_params):
+        from custom_diffusion360_tpu.io.delta import iter_pose_blocks
+
+        eng, params = engine_and_params
+        rng = np.random.default_rng(3)
+        refs = {}
+        for _, _, attn_id, d in iter_pose_blocks(TINY_CFG.unet):
+            refs.setdefault(attn_id, {})[d] = jnp.asarray(
+                rng.normal(size=(N + 1, 16, 128)).astype(np.float32) * 0.1
+            )
+        cond = {
+            "crossattn": jnp.ones((B, 16, 96)) * 0.1,
+            "vector": jnp.ones((B, 72)) * 0.1,
+        }
+        cams = random_cameras((1 + N) * 2 * B, seed=4).reshape(2 * B, 1 + N)
+        return eng, params, refs, cond, cams
+
+    @pytest.mark.parametrize(
+        "name",
+        ["heun_edm", "euler_ancestral", "dpmpp2s_ancestral", "dpmpp2m", "lms"],
+    )
+    def test_each_sampler_runs(self, engine_and_params, name):
+        eng, params, refs, cond, cams = self._setup(engine_and_params)
+        out = eng.sample(
+            params, cond, cond, vanilla_cfg_img_ref(scale=5.0),
+            jax.random.PRNGKey(5), shape=(B, 8, 8, 4), cams=cams,
+            references=refs, choices=np.arange(N), num_steps=3, sampler=name,
+        )
+        assert out.shape == (B, 8, 8, 4)
+        assert np.isfinite(np.asarray(out)).all()
+
+    def test_euler_fast_path_equals_generic_route(self, engine_and_params):
+        """The unrolled-step-0 cache path must match running the full Euler
+        sampler through the cached network (the route other samplers take)
+        — i.e. the render-once cache is exact, not an approximation."""
+        eng, params, refs, cond, cams = self._setup(engine_and_params)
+
+        def run(cache):
+            return eng.sample(
+                params, cond, cond, vanilla_cfg_img_ref(scale=5.0),
+                jax.random.PRNGKey(5), shape=(B, 8, 8, 4), cams=cams,
+                references=refs, choices=np.arange(N), num_steps=3,
+                cache_nerf=cache,
+            )
+
+        np.testing.assert_allclose(
+            np.asarray(run(True)), np.asarray(run(False)), atol=2e-4
+        )
