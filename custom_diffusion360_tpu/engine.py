@@ -19,7 +19,7 @@ import jax
 import jax.numpy as jnp
 
 from .diffusion.denoiser import Denoiser, DenoiserConfig
-from .diffusion.discretization import legacy_ddpm_sigmas
+from .diffusion.discretization import legacy_ddpm_sigmas, make_sigmas
 from .diffusion.loss import (
     DiffusionLossConfig,
     combine_losses,
@@ -50,6 +50,7 @@ class EngineConfig:
     loss: DiffusionLossConfig = DiffusionLossConfig()
     sampler: SamplerConfig = SamplerConfig()
     sampler_name: str = "euler_edm"  # key into diffusion.SAMPLERS
+    discretization_name: str = "legacy_ddpm"  # or "edm" (make_sigmas)
     num_sample_steps: int = 50
     compute_dtype: str = "float32"  # UNet autocast: fp32 train (openaimodel.py:992)
 
@@ -265,7 +266,7 @@ class Engine:
         approximation).
         """
         n_steps = num_steps or self.cfg.num_sample_steps
-        sigmas = legacy_ddpm_sigmas(n_steps)
+        sigmas = make_sigmas(self.cfg.discretization_name, n_steps)
         k_noise, k_samp = jax.random.split(key)
         x = jax.random.normal(k_noise, shape, jnp.float32)
         x = x * jnp.sqrt(1.0 + sigmas[0] ** 2)
@@ -390,7 +391,7 @@ class Engine:
         from .models.transformer import fuse_attention_params
 
         n_steps = num_steps or self.cfg.num_sample_steps
-        sigmas = legacy_ddpm_sigmas(n_steps)
+        sigmas = make_sigmas(self.cfg.discretization_name, n_steps)
         b = shape[0]
         params = dict(params, unet=fuse_attention_params(params["unet"]))
 

@@ -132,3 +132,25 @@ class TestSamplerSelection:
         np.testing.assert_allclose(
             np.asarray(run(True)), np.asarray(run(False)), atol=2e-4
         )
+
+
+def test_edm_discretization_selectable(engine_and_params):
+    """EngineConfig.discretization_name='edm' routes sampling through the
+    EDM sigma schedule (reference: config-instantiated discretization)."""
+    import dataclasses
+
+    from custom_diffusion360_tpu.engine import Engine
+
+    eng0, params = engine_and_params
+    eng = Engine(dataclasses.replace(eng0.cfg, discretization_name="edm"))
+    cond = {
+        "crossattn": jnp.ones((B, 16, 96)) * 0.1,
+        "vector": jnp.ones((B, 72)) * 0.1,
+    }
+    cams = random_cameras((1 + N) * 2 * B, seed=4).reshape(2 * B, 1 + N)
+    out = eng.sample(
+        params, cond, cond, vanilla_cfg_img_ref(scale=5.0),
+        jax.random.PRNGKey(5), shape=(B, 8, 8, 4), cams=cams,
+        num_steps=2,
+    )
+    assert np.isfinite(np.asarray(out)).all()
