@@ -220,3 +220,44 @@ def test_unet_ctx_kv_cache_matches(tiny_params):
         tiny_params, TINY, x, t, ctx[:1], y, nerf_caches=caches,
     )
     np.testing.assert_allclose(np.asarray(out2), np.asarray(out3), atol=1e-6)
+
+
+def test_lora_merge_exact():
+    """fuse_attention_params folds nonzero LoRA adapters into the base
+    projections exactly (W + down @ up), so pose blocks take the fused
+    fast path at inference."""
+    from custom_diffusion360_tpu.models.transformer import (
+        cross_attention_apply,
+        fuse_attention_params,
+        init_cross_attention,
+    )
+
+    key = jax.random.PRNGKey(0)
+    p1 = init_cross_attention(key, 32, 32, 2, 16, add_lora=True, lora_rank=4)
+    p2 = init_cross_attention(
+        jax.random.fold_in(key, 1), 32, 48, 2, 16, add_lora=True, lora_rank=4
+    )
+    # nonzero up-projections (init is zero)
+    for p in (p1, p2):
+        for k in ("q_up", "k_up", "v_up", "o_up"):
+            p["lora"][k]["w"] = (
+                jax.random.normal(jax.random.fold_in(key, hash(k) % 97),
+                                  p["lora"][k]["w"].shape) * 0.1
+            )
+    blk = {"attn1": p1, "attn2": p2}
+    fused = fuse_attention_params(blk)
+    assert "lora" not in fused["attn1"] and "to_qkv" in fused["attn1"]
+    assert "lora" not in fused["attn2"] and "to_kv" in fused["attn2"]
+
+    x = jax.random.normal(jax.random.fold_in(key, 2), (2, 6, 32))
+    ctx = jax.random.normal(jax.random.fold_in(key, 3), (2, 5, 48))
+    np.testing.assert_allclose(
+        np.asarray(cross_attention_apply(p1, x, None, n_heads=2)),
+        np.asarray(cross_attention_apply(fused["attn1"], x, None, n_heads=2)),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(cross_attention_apply(p2, x, ctx, n_heads=2)),
+        np.asarray(cross_attention_apply(fused["attn2"], x, ctx, n_heads=2)),
+        atol=1e-5,
+    )

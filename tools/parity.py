@@ -191,22 +191,13 @@ def check_nerf(delta_sd, unet_cfg, res=16, n=3, nerf_cfg=None):
     geometry inputs (grid + PE features) are produced once by our geometry
     stack and fed to BOTH paths — this pins the MLP packing, grid_sample
     conventions and softmax pooling against the delta checkpoint naming."""
-    import jax
     import jax.numpy as jnp
     import torch
 
-    from custom_diffusion360_tpu.geometry.cameras import (
-        Cameras,
-        transform_points_ndc,
-    )
+    from custom_diffusion360_tpu.geometry.cameras import Cameras
     from custom_diffusion360_tpu.geometry.rays import (
         get_patch_rays,
-        plucker_parameterization,
-        points_to_view_space,
-        positional_encoding,
         ray_points_from_rays,
-        rays_to_target_space,
-        rays_to_view_space,
     )
     from custom_diffusion360_tpu.io.delta import iter_pose_blocks
     from custom_diffusion360_tpu.models.nerf import (
