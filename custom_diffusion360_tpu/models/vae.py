@@ -229,3 +229,43 @@ def encode_first_stage(params, x, key=None, cfg: VAEConfig = VAEConfig(), sample
 
 def decode_first_stage(params, z, cfg: VAEConfig = VAEConfig()):
     return vae_decode(params, z / cfg.scale_factor, cfg)
+
+
+def autoencoding_engine_encode(
+    params,
+    x,
+    regularizer=None,
+    key=None,
+    cfg: VAEConfig = VAEConfig(),
+    return_reg_log=False,
+):
+    """Generic encode with a pluggable latent regularizer.
+
+    Reference: AutoencodingEngine.encode (sgm/models/autoencoder.py:116-214)
+    — encoder output runs through the configured regularizer (KL sampling,
+    identity, or a quantizer from models/regularizers.py). ``regularizer``
+    is a callable ``moments -> (z, log_dict)``; the default is the KL
+    posterior sampler used by AutoencoderKL.
+    """
+    from .regularizers import diagonal_gaussian_regularizer
+
+    moments = vae_encode(params, x, cfg)
+    if regularizer is None:
+        z, reg_log = diagonal_gaussian_regularizer(
+            moments, key=key, sample=key is not None
+        )
+    else:
+        z, reg_log = regularizer(moments)
+    if return_reg_log:
+        return z, reg_log
+    return z
+
+
+def identity_first_stage_encode(params, x, *_, **__):
+    """IdentityFirstStage (sgm/models/autoencoder.py:324-335): a no-op
+    first stage for pixel-space diffusion. ``params`` is unused."""
+    return x
+
+
+def identity_first_stage_decode(params, z, *_, **__):
+    return z
