@@ -480,3 +480,12 @@ def unet_apply(
         ref_tokens=ref_tokens,
     )
     return out, aux
+
+
+def no_time_unet_apply(params, cfg: UNetConfig, x, timesteps, context, y,
+                       **kwargs):
+    """UNet forward with the timestep conditioning zeroed
+    (NoTimeUNetModel, openaimodel.py:1096-1099)."""
+    return unet_apply(
+        params, cfg, x, jnp.zeros_like(timesteps), context, y, **kwargs
+    )
