@@ -160,3 +160,195 @@ def clip_text_apply(params, tokens, cfg: ClipTextConfig):
         rows = jnp.take(flat, eot + jnp.arange(b) * t, axis=0, mode="clip")
         pooled = rows @ params["text_projection"]["w"]
     return {"last": last, "penultimate": penultimate, "final": final, "pooled": pooled}
+
+
+# ---------------------------------------------------------------------------
+# CLIP vision tower (for FrozenOpenCLIPImageEmbedder, modules.py:774-932)
+# ---------------------------------------------------------------------------
+
+
+@dataclasses.dataclass(frozen=True)
+class ClipVisionConfig:
+    image_size: int = 224
+    patch_size: int = 14
+    width: int = 1280
+    layers: int = 32
+    heads: int = 16
+    mlp_ratio: int = 4
+    embed_dim: int = 1024  # projection output (ViT-H/14)
+    act: str = "gelu"
+    ln_eps: float = 1e-5
+
+    @property
+    def grid(self):
+        return self.image_size // self.patch_size
+
+
+def init_clip_vision_params(key, cfg: ClipVisionConfig):
+    """Pre-LN ViT: conv patch embed (no bias) + class token + learned
+    positions, ln_pre, transformer, ln_post on the class token, projection.
+    Mirrors open_clip VisionTransformer / HF CLIPVisionModelWithProjection."""
+    ks = jax.random.split(key, cfg.layers + 6)
+    blocks = [
+        _init_block(ks[i], ClipTextConfig(width=cfg.width, heads=cfg.heads,
+                                          mlp_ratio=cfg.mlp_ratio, act=cfg.act))
+        for i in range(cfg.layers)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    scale = cfg.width**-0.5
+    n_tok = cfg.grid * cfg.grid + 1
+    return {
+        "patch_embed": jax.random.normal(
+            ks[-1], (cfg.patch_size, cfg.patch_size, 3, cfg.width), jnp.float32
+        ) * 0.02,
+        "class_embedding": jax.random.normal(ks[-2], (cfg.width,), jnp.float32)
+        * scale,
+        "positional_embedding": jax.random.normal(
+            ks[-3], (n_tok, cfg.width), jnp.float32
+        ) * scale,
+        "ln_pre": layer_norm_init(cfg.width),
+        "blocks": stacked,
+        "ln_post": layer_norm_init(cfg.width),
+        "proj": jax.random.normal(
+            ks[-4], (cfg.width, cfg.embed_dim), jnp.float32
+        ) * scale,
+    }
+
+
+def clip_vision_apply(params, images, cfg: ClipVisionConfig,
+                      output_tokens=False):
+    """images: (B, H, W, 3) preprocessed NHWC -> pooled (B, embed_dim).
+
+    With output_tokens=True also returns the (B, n_patches, width) token
+    states (open_clip ``visual.output_tokens``, used by
+    FrozenOpenCLIPImageEmbedder when token outputs are requested).
+    """
+    b = images.shape[0]
+    x = jax.lax.conv_general_dilated(
+        images, params["patch_embed"].astype(images.dtype),
+        window_strides=(cfg.patch_size, cfg.patch_size), padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ).reshape(b, -1, cfg.width)
+    cls = jnp.broadcast_to(
+        params["class_embedding"].astype(x.dtype)[None, None], (b, 1, cfg.width)
+    )
+    x = jnp.concatenate([cls, x], axis=1)
+    x = x + params["positional_embedding"][None].astype(x.dtype)
+    x = layer_norm(params["ln_pre"], x, eps=cfg.ln_eps)
+
+    blk_cfg = ClipTextConfig(width=cfg.width, heads=cfg.heads,
+                             mlp_ratio=cfg.mlp_ratio, act=cfg.act)
+    act = _act(cfg.act)
+    zero_mask = jnp.zeros((1, 1, 1, 1), jnp.float32)  # bidirectional
+
+    def body(h, bp):
+        out = _block_apply(bp, h, zero_mask, act, blk_cfg)
+        return out, None
+
+    x, _ = jax.lax.scan(body, x, params["blocks"])
+    pooled = layer_norm(params["ln_post"], x[:, 0], eps=cfg.ln_eps)
+    pooled = pooled @ params["proj"].astype(pooled.dtype)
+    if output_tokens:
+        return pooled, x[:, 1:]
+    return pooled
+
+
+def load_clip_vision_torch(state_dict, cfg: ClipVisionConfig,
+                           naming="open_clip"):
+    """Torch CLIP vision weights -> param pytree.
+
+    naming="open_clip": open_clip VisionTransformer keys (``visual.conv1``,
+    fused ``attn.in_proj_*``, ``mlp.c_fc/c_proj`` — what
+    FrozenOpenCLIPImageEmbedder's checkpoints carry).
+    naming="hf": HuggingFace CLIPVisionModelWithProjection keys.
+    """
+    import numpy as np
+
+    def arr(name):
+        t = state_dict[name]
+        return np.asarray(
+            t.detach().cpu().numpy() if hasattr(t, "detach") else t,
+            dtype=np.float32,
+        )
+
+    blocks = []
+    if naming == "open_clip":
+        conv = arr("visual.conv1.weight")  # (width, 3, p, p) no bias
+        p = {
+            "patch_embed": jnp.asarray(conv.transpose(2, 3, 1, 0)),
+            "class_embedding": jnp.asarray(arr("visual.class_embedding")),
+            "positional_embedding": jnp.asarray(
+                arr("visual.positional_embedding")
+            ),
+            "ln_pre": {"scale": jnp.asarray(arr("visual.ln_pre.weight")),
+                       "bias": jnp.asarray(arr("visual.ln_pre.bias"))},
+            "ln_post": {"scale": jnp.asarray(arr("visual.ln_post.weight")),
+                        "bias": jnp.asarray(arr("visual.ln_post.bias"))},
+            "proj": jnp.asarray(arr("visual.proj")),  # already (width, out)
+        }
+        for i in range(cfg.layers):
+            pre = f"visual.transformer.resblocks.{i}"
+            wqkv = arr(f"{pre}.attn.in_proj_weight")  # (3d, d)
+            bqkv = arr(f"{pre}.attn.in_proj_bias")
+            d = cfg.width
+            blocks.append({
+                "ln1": {"scale": jnp.asarray(arr(f"{pre}.ln_1.weight")),
+                        "bias": jnp.asarray(arr(f"{pre}.ln_1.bias"))},
+                "q": {"w": jnp.asarray(wqkv[:d].T), "b": jnp.asarray(bqkv[:d])},
+                "k": {"w": jnp.asarray(wqkv[d:2 * d].T),
+                      "b": jnp.asarray(bqkv[d:2 * d])},
+                "v": {"w": jnp.asarray(wqkv[2 * d:].T),
+                      "b": jnp.asarray(bqkv[2 * d:])},
+                "o": {"w": jnp.asarray(arr(f"{pre}.attn.out_proj.weight").T),
+                      "b": jnp.asarray(arr(f"{pre}.attn.out_proj.bias"))},
+                "ln2": {"scale": jnp.asarray(arr(f"{pre}.ln_2.weight")),
+                        "bias": jnp.asarray(arr(f"{pre}.ln_2.bias"))},
+                "fc1": {"w": jnp.asarray(arr(f"{pre}.mlp.c_fc.weight").T),
+                        "b": jnp.asarray(arr(f"{pre}.mlp.c_fc.bias"))},
+                "fc2": {"w": jnp.asarray(arr(f"{pre}.mlp.c_proj.weight").T),
+                        "b": jnp.asarray(arr(f"{pre}.mlp.c_proj.bias"))},
+            })
+    elif naming == "hf":
+        conv = arr("vision_model.embeddings.patch_embedding.weight")
+        p = {
+            "patch_embed": jnp.asarray(conv.transpose(2, 3, 1, 0)),
+            "class_embedding": jnp.asarray(
+                arr("vision_model.embeddings.class_embedding").reshape(-1)
+            ),
+            "positional_embedding": jnp.asarray(
+                arr("vision_model.embeddings.position_embedding.weight")
+            ),
+            "ln_pre": {
+                "scale": jnp.asarray(arr("vision_model.pre_layrnorm.weight")),
+                "bias": jnp.asarray(arr("vision_model.pre_layrnorm.bias")),
+            },
+            "ln_post": {
+                "scale": jnp.asarray(arr("vision_model.post_layernorm.weight")),
+                "bias": jnp.asarray(arr("vision_model.post_layernorm.bias")),
+            },
+            "proj": jnp.asarray(arr("visual_projection.weight").T),
+        }
+        for i in range(cfg.layers):
+            pre = f"vision_model.encoder.layers.{i}"
+            blk = {
+                "ln1": {"scale": jnp.asarray(arr(f"{pre}.layer_norm1.weight")),
+                        "bias": jnp.asarray(arr(f"{pre}.layer_norm1.bias"))},
+                "ln2": {"scale": jnp.asarray(arr(f"{pre}.layer_norm2.weight")),
+                        "bias": jnp.asarray(arr(f"{pre}.layer_norm2.bias"))},
+                "fc1": {"w": jnp.asarray(arr(f"{pre}.mlp.fc1.weight").T),
+                        "b": jnp.asarray(arr(f"{pre}.mlp.fc1.bias"))},
+                "fc2": {"w": jnp.asarray(arr(f"{pre}.mlp.fc2.weight").T),
+                        "b": jnp.asarray(arr(f"{pre}.mlp.fc2.bias"))},
+            }
+            for ours, theirs in (("q", "q_proj"), ("k", "k_proj"),
+                                 ("v", "v_proj"), ("o", "out_proj")):
+                blk[ours] = {
+                    "w": jnp.asarray(arr(f"{pre}.self_attn.{theirs}.weight").T),
+                    "b": jnp.asarray(arr(f"{pre}.self_attn.{theirs}.bias")),
+                }
+            blocks.append(blk)
+    else:
+        raise ValueError(naming)
+
+    p["blocks"] = jax.tree.map(lambda *xs: jnp.stack(xs), *blocks)
+    return p
