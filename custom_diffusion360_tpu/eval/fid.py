@@ -48,11 +48,12 @@ class FeatureStats:
         return (self.s2 - self.n * np.outer(mu, mu)) / (self.n - 1)
 
 
-def _sqrtm_psd(a, eps=1e-12):
-    """Symmetric PSD matrix square root via eigendecomposition."""
+def _sqrtm_psd(a):
+    """Symmetric PSD matrix square root via eigendecomposition (negative
+    eigenvalues from roundoff clip to zero; no diagonal loading, which
+    would bias the trace by ~d*sqrt(eps) at d=2048)."""
     vals, vecs = np.linalg.eigh(a)
-    vals = np.clip(vals, 0.0, None)
-    return (vecs * np.sqrt(vals + eps)) @ vecs.T
+    return (vecs * np.sqrt(np.clip(vals, 0.0, None))) @ vecs.T
 
 
 def frechet_distance(mu1, cov1, mu2, cov2):

@@ -204,6 +204,77 @@ def test_feature_stats_streaming_matches_numpy():
 # --- CLIP score -------------------------------------------------------------
 
 
+def test_evaluate_cli_smoke():
+    from custom_diffusion360_tpu.cli.evaluate import main
+
+    metrics = main(["--smoke"])
+    assert set(metrics) == {"fid", "clip_t", "clip_i"}
+    assert all(np.isfinite(v) for v in metrics.values())
+
+
+def test_evaluate_cli_fid_from_files(tmp_path, inception_params):
+    PIL = pytest.importorskip("PIL")
+    from PIL import Image
+
+    from custom_diffusion360_tpu.cli.evaluate import main
+
+    rng = np.random.default_rng(7)
+    for d, shift in (("gen", 0), ("real", 60)):
+        (tmp_path / d).mkdir()
+        for i in range(3):
+            arr = rng.integers(shift, 196 + shift, (16, 16, 3)).astype(
+                np.uint8)
+            Image.fromarray(arr).save(tmp_path / d / f"{i}.png")
+
+    # synthesize a torch-format inception checkpoint
+    sd = {}
+    for spec in _STEM:
+        name = spec[0]
+        p = inception_params[name]
+        sd[f"{name}.conv.weight"] = torch.tensor(
+            np.asarray(p["w"]).transpose(3, 2, 0, 1))
+        sd[f"{name}.bn.weight"] = torch.tensor(np.asarray(p["bn_scale"]))
+        sd[f"{name}.bn.bias"] = torch.tensor(np.asarray(p["bn_bias"]))
+        sd[f"{name}.bn.running_mean"] = torch.tensor(np.asarray(p["bn_mean"]))
+        sd[f"{name}.bn.running_var"] = torch.tensor(np.asarray(p["bn_var"]))
+    for bname, kind, spec in BLOCKS:
+        for branch in spec:
+            for tname in _TORCH_NAMES[kind][branch]:
+                p = inception_params[bname][tname]
+                pre = f"{bname}.{tname}"
+                sd[f"{pre}.conv.weight"] = torch.tensor(
+                    np.asarray(p["w"]).transpose(3, 2, 0, 1))
+                sd[f"{pre}.bn.weight"] = torch.tensor(
+                    np.asarray(p["bn_scale"]))
+                sd[f"{pre}.bn.bias"] = torch.tensor(np.asarray(p["bn_bias"]))
+                sd[f"{pre}.bn.running_mean"] = torch.tensor(
+                    np.asarray(p["bn_mean"]))
+                sd[f"{pre}.bn.running_var"] = torch.tensor(
+                    np.asarray(p["bn_var"]))
+    ckpt = tmp_path / "inception.pth"
+    torch.save(sd, ckpt)
+
+    metrics = main([
+        "--generated", str(tmp_path / "gen"),
+        "--real", str(tmp_path / "real"),
+        "--inception_ckpt", str(ckpt),
+        "--output", str(tmp_path / "metrics.json"),
+    ])
+    same = main([
+        "--generated", str(tmp_path / "gen"),
+        "--real", str(tmp_path / "gen"),
+        "--inception_ckpt", str(ckpt),
+    ])
+    # 3-sample, 2048-d stats are rank-deficient: allow numerical slack, but
+    # distinct dirs must measure farther than the dir against itself (~0)
+    assert np.isfinite(metrics["fid"])
+    assert abs(same["fid"]) < 1e-3
+    assert metrics["fid"] > same["fid"] - 1e-6
+    import json
+
+    assert "fid" in json.load(open(tmp_path / "metrics.json"))
+
+
 def test_clip_scores():
     from custom_diffusion360_tpu.eval.clip_score import (
         clip_image_similarity,
