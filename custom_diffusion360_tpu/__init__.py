@@ -18,7 +18,8 @@ Layering (mirrors the reference's layer map, SURVEY.md §1, but idiomatic JAX):
   parallel/   jax.sharding Mesh construction + partition specs (replaces DDP/NCCL)
   train/      train step, optimizer masking, checkpoints (delta format), capture
   data/       CO3D/NAVI data pipeline (host-side numpy + on-device preprocessing)
-  cli/        train / sample entry points
+  eval/       FID (InceptionV3 pool3) + CLIP-T/CLIP-I metrics
+  cli/        train / sample / evaluate entry points
 """
 
 __version__ = "0.1.0"
