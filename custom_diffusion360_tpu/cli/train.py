@@ -57,6 +57,10 @@ def build_parser():
                    help="orbax full-state checkpoint interval (0 = final only)")
     p.add_argument("--sample_every", type=int, default=0,
                    help="write input/recon/sample image grids every N steps")
+    p.add_argument("--log_steps_increase", action="store_true",
+                   help="also log grids at power-of-two early steps "
+                        "(reference ImageLogger increase_log_steps, "
+                        "main.py:383,397)")
     p.add_argument("--val_every", type=int, default=0,
                    help="log validation loss every N steps (the reference "
                         "interleaves val epochs into trainer.fit, "
@@ -326,7 +330,16 @@ def main(argv=None):
                 _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
             if args.full_ckpt_every and step and step % args.full_ckpt_every == 0 and is_main:
                 save_train_state(ckpt_dir, state)
-            if args.sample_every and step and step % args.sample_every == 0 and is_main:
+            # reference ImageLogger schedule (main.py:397,511-517): every
+            # batch_freq steps PLUS logarithmically spaced early steps
+            # (1, 2, 4, ... batch_freq) when increase_log_steps is on
+            log_now = args.sample_every and step and (
+                step % args.sample_every == 0
+                or (args.log_steps_increase
+                    and step <= args.sample_every
+                    and (step & (step - 1)) == 0)
+            )
+            if log_now and is_main:
                 from ..train import save_image_grid
 
                 # jitted: eager execution runs the 8-step sampler op-by-op
