@@ -9,7 +9,7 @@ similarities) over this package's eval subsystem.
         --generated out/samples --real data/car0_views \\
         --prompt "photo of a <new1> car" \\
         --inception_ckpt pt_inception-2015-12-05.pth \\
-        --clip_ckpt sd_xl_base_1.0.safetensors --vocab_dir tok/
+        --clip_vision_ckpt open_clip_vit_h14.pth --vocab_dir tok/
 
 Metrics are selected by what you provide:
   * --real + --inception_ckpt      -> FID(generated, real)
@@ -88,8 +88,11 @@ def compute_fid(inception_params, gen, real, batch=8):
     from ..eval.inception import inception_pool3_features
 
     def feats(imgs):
+        # pytorch_fid protocol: [0,1] inputs, normalize_input=True maps to
+        # the [-1,1] range the published pt_inception weights expect
         return inception_pool3_features(
-            inception_params, jnp.asarray(imgs), resize_input=True
+            inception_params, jnp.asarray(imgs), resize_input=True,
+            normalize_input=True,
         )
 
     s_gen = FeatureStats().update(_batched(feats, gen, batch))
@@ -164,9 +167,16 @@ def main(argv=None):
             vp = load_clip_vision_torch(sd, vcfg, naming=args.clip_arch)
             g = jnp.asarray(gen * 2 - 1)
             if args.prompt:
-                from ..io.torch_convert import convert_open_clip_state_dict
-                from .sample import make_tokenizers
+                import re
 
+                from ..data.tokenizer import ClipTokenizer
+                from ..io.torch_convert import convert_open_clip_state_dict
+
+                if args.vocab_dir is None:
+                    raise SystemExit(
+                        "CLIP-T against real weights needs --vocab_dir "
+                        "(the bpe vocab files)"
+                    )
                 tsd = sd
                 if args.clip_text_ckpt and (
                     args.clip_text_ckpt != args.clip_vision_ckpt
@@ -180,8 +190,16 @@ def main(argv=None):
                                       act="gelu", text_projection=True,
                                       num_modifier_tokens=0)
                 tp = convert_open_clip_state_dict(tsd, tcfg, prefix="")
-                _, tok_open = make_tokenizers(args.vocab_dir)
-                tokens = jnp.asarray(tok_open([args.prompt] * len(gen)))
+                # a vanilla CLIP has no row for the V* token — strip the
+                # modifier token from the prompt (standard customization
+                # eval protocol) and tokenize WITHOUT the special token so
+                # nothing maps past the vocab / hijacks the eot argmax
+                prompt = re.sub(r"\s*<new\d+>\s*", " ", args.prompt).strip()
+                tok_open = ClipTokenizer.from_merges(
+                    os.path.join(args.vocab_dir,
+                                 "bpe_simple_vocab_16e6.txt.gz")
+                )
+                tokens = jnp.asarray(tok_open([prompt] * len(gen)))
                 metrics["clip_t"] = float(np.mean(np.asarray(
                     clip_score(vp, tp, g, tokens, vcfg, tcfg)
                 )))

@@ -44,6 +44,10 @@ class FeatureStats:
     @property
     def cov(self):
         """Unbiased covariance (ddof=1, matching np.cov / pytorch_fid)."""
+        if self.n < 2:
+            raise ValueError(
+                f"covariance needs at least 2 samples, got {self.n}"
+            )
         mu = self.mean
         return (self.s2 - self.n * np.outer(mu, mu)) / (self.n - 1)
 

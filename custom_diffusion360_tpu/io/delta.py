@@ -10,11 +10,10 @@ Two on-disk formats:
   checkpoints interchange with the original CUDA implementation);
 * a torch-free ``.npz`` native format (save_delta_npz/load_delta_npz).
 
-In-memory, a delta is::
-
-    {"pose": {torch_key: array},                  # pose_emb_layers + NeRF MLPs
-     "references": {attn_id: {depth: (Nref+1, hw, C)}},
-     "embed": [clip_l_rows (M,768), open_clip_rows (M,1280)]}
+In-memory, a delta is the FLAT reference ``delta_state_dict``: torch keys
+for the pose weights (``...pose_emb_layers.weight``, ``...pose_featurenerf.
+model.*``) and per-block ``...references`` buffers, plus one ``"embed"``
+entry holding ``[clip_l_rows (M,768), open_clip_rows (M,1280)]``.
 """
 from __future__ import annotations
 

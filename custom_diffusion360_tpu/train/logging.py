@@ -84,17 +84,34 @@ class MetricsLogger:
         if self._writer is None or any(
             k not in self._writer.fieldnames for k in row
         ):
-            # new metric keys (e.g. the val_* rows): rewrite with the union
+            # new metric keys (e.g. the val_* rows) or a resumed run:
+            # rewrite the WHOLE file with one union header so earlier rows
+            # keep a consistent column layout (no mid-file second header)
             fields = list(row) if self._writer is None else list(
                 dict.fromkeys(list(self._writer.fieldnames) + list(row))
             )
+            existing = []
             if self._file is not None:
                 self._file.close()
-            self._file = open(self.path, "a", newline="")
+            if os.path.exists(self.path) and os.path.getsize(self.path):
+                with open(self.path, newline="") as f:
+                    reader = csv.DictReader(f)
+                    if reader.fieldnames:
+                        fields = list(dict.fromkeys(
+                            list(reader.fieldnames) + fields
+                        ))
+                        # skip stray header rows from pre-fix files
+                        existing = [r for r in reader
+                                    if r.get("step") != "step"]
+            self._file = open(self.path, "w", newline="")
             self._writer = csv.DictWriter(
                 self._file, fieldnames=fields, restval="", extrasaction="ignore"
             )
             self._writer.writeheader()
+            for r in existing:
+                self._writer.writerow(
+                    {k: v for k, v in r.items() if k in fields and v}
+                )
         self._writer.writerow(row)
         self._file.flush()
         if self._wandb is not None:

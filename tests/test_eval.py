@@ -187,6 +187,12 @@ def test_frechet_distance_matches_scipy():
     assert np.allclose(ours, ref, rtol=1e-6)
 
 
+def test_feature_stats_single_sample_errors():
+    stats = FeatureStats().update(np.zeros((1, 4)))
+    with pytest.raises(ValueError, match="at least 2"):
+        _ = stats.cov
+
+
 def test_feature_stats_streaming_matches_numpy():
     rng = np.random.default_rng(4)
     feats = rng.normal(size=(100, 5))

@@ -100,6 +100,32 @@ class TestLogging:
         stats = m.device_memory_stats()
         assert isinstance(stats, dict) and stats
 
+    def test_metrics_csv_resume_and_schema_growth(self, tmp_path):
+        """Resume + new metric keys keep ONE header and a consistent column
+        layout (no mid-file second header)."""
+        import csv
+
+        m = MetricsLogger(str(tmp_path), images_per_step=1)
+        m.tic(); m.toc()
+        m.log(0, {"loss": 1.0})
+        m.log(1, {"loss": 2.0, "val_loss": 0.5})  # schema grows
+        m._file.close()
+
+        m2 = MetricsLogger(str(tmp_path), images_per_step=1)  # resume
+        m2.tic(); m2.toc()
+        m2.log(2, {"loss": 3.0})
+        m2._file.close()
+
+        with open(m.path, newline="") as f:
+            rows = list(csv.reader(f))
+        headers = [r for r in rows if r and r[0] == "step"]
+        assert len(headers) == 1, "duplicate header rows"
+        with open(m.path, newline="") as f:
+            data = list(csv.DictReader(f))
+        assert [r["step"] for r in data] == ["0", "1", "2"]
+        assert data[1]["val_loss"] == "0.5"
+        assert data[0]["val_loss"] == "" and data[2]["val_loss"] == ""
+
     def test_image_grid(self, tmp_path):
         imgs = np.zeros((5, 8, 8, 3), np.float32)
         p = save_image_grid(str(tmp_path / "g.png"), imgs, nrow=2)

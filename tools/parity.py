@@ -452,10 +452,13 @@ def main(argv=None):
                 if args.delta_ckpt.endswith(".npz")
                 else load_delta_torch(args.delta_ckpt)
             )
-            if "nerf" in mods and delta.get("pose"):
-                report.update(check_nerf(delta["pose"], UNetConfig()))
-            if "pose_block" in mods and delta.get("pose"):
-                report.update(check_pose_block(sd, delta["pose"], UNetConfig()))
+            # loaded deltas are FLAT delta_state_dicts (io/delta.py) — gate
+            # on the pose keys themselves, not a structured "pose" entry
+            has_pose = any(".pose_featurenerf." in k for k in delta)
+            if "nerf" in mods and has_pose:
+                report.update(check_nerf(delta, UNetConfig()))
+            if "pose_block" in mods and has_pose:
+                report.update(check_pose_block(sd, delta, UNetConfig()))
             if "sample" in mods:
                 params = load_sdxl_checkpoint(args.base_ckpt)
                 params, references = apply_delta_state_dict(
