@@ -14,3 +14,8 @@ from .mesh import (
     shard_batch,
     replicate,
 )
+from .tp import (
+    make_mesh_2d,
+    shard_params_tp,
+    tp_param_specs,
+)
