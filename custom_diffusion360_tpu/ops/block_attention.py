@@ -181,6 +181,68 @@ def block_attention(q, k, v, scale, kv_len=None, block_q=512):
     return _forward(q, k, v, scale, kv_len, block_q)
 
 
+def _forward_bnhd(q, k, v, scale, kv_len, block_q):
+    """Transpose-free variant: consumes the models' native (b, n, h, d)
+    layout directly — the (b, h, n, d) relayout that block_attention's
+    callers pay in XLA (swapaxes copies before AND after the kernel) moves
+    into the kernel's block index maps, where the strided reads ride the
+    double-buffered DMA pipeline instead of serializing as copy fusions.
+
+    MEASURE BEFORE DISPATCHING (ops/attention keeps the swapaxes path until
+    a trace shows this wins): per-head slicing of the (block_q, h, d) VMEM
+    block is a sublane-axis access Mosaic must relayout per head.
+    """
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    kv_len = m if kv_len is None else kv_len
+
+    qp = _pad_axis(q, 1, block_q)
+    kp = _pad_axis(k, 1, 128)
+    vp = _pad_axis(v, 1, 128)
+    np_, mp = qp.shape[1], kp.shape[1]
+    ncols = -(-(d + 1) // 128) * 128
+    ones = jnp.ones((b, mp, h, 1), vp.dtype)
+    zeros = jnp.zeros((b, mp, h, ncols - d - 1), vp.dtype)
+    v128 = jnp.concatenate([vp, ones, zeros], axis=-1)
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for i in range(h):
+            o_ref[0, :, i] = _attend(
+                q_ref[0, :, i], k_ref[0, :, i], v_ref[0, :, i], scale,
+                kv_len, mp, o_ref.dtype,
+            )
+
+    compiler_params = None
+    if not _INTERPRET:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20)
+    out = pl.pallas_call(
+        kernel,
+        grid=(b, np_ // block_q),
+        in_specs=[
+            pl.BlockSpec((1, block_q, h, d), lambda i, t: (i, t, 0, 0)),
+            pl.BlockSpec((1, mp, h, d), lambda i, t: (i, 0, 0, 0)),
+            pl.BlockSpec((1, mp, h, ncols), lambda i, t: (i, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, h, d), lambda i, t: (i, t, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, np_, h, d), q.dtype),
+        compiler_params=compiler_params,
+        interpret=_INTERPRET,
+    )(qp, kp, v128)
+    return out[:, :n]
+
+
+def block_attention_bnhd(q, k, v, scale, kv_len=None, block_q=512):
+    """block_attention for (b, n, h, d)-layout operands (no swapaxes).
+    Falls back to the transposed path off-TPU."""
+    if not _HAS_PALLAS or (
+        jax.devices()[0].platform != "tpu" and not _INTERPRET
+    ):
+        out = _xla_f32(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                       jnp.swapaxes(v, 1, 2), scale, kv_len)
+        return jnp.swapaxes(out, 1, 2)
+    return _forward_bnhd(q, k, v, scale, kv_len, block_q)
+
+
 def _fwd(q, k, v, scale, kv_len, block_q):
     return block_attention(q, k, v, scale, kv_len, block_q), (q, k, v)
 

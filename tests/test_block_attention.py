@@ -56,3 +56,36 @@ class TestKernel:
         g1 = jax.grad(lambda q: (ba.block_attention(q, q, q, 0.125, None, 128) ** 2).sum())(q)
         g2 = jax.grad(lambda q: (_ref(q, q, q, 0.125) ** 2).sum())(q)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+
+class TestBnhdKernel:
+    """Transpose-free (b, n, h, d) variant vs the transposed reference."""
+
+    def test_matches_reference(self):
+        key = jax.random.PRNGKey(7)
+        q = jax.random.normal(key, (2, 256, 3, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (2, 256, 3, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (2, 256, 3, 64))
+        got = ba.block_attention_bnhd(q, k, v, 0.125, None, 128)
+        ref = jnp.swapaxes(
+            _ref(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                 jnp.swapaxes(v, 1, 2), 0.125),
+            1, 2,
+        )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+    def test_padding_and_mask(self):
+        key = jax.random.PRNGKey(8)
+        q = jax.random.normal(key, (1, 200, 2, 64))  # n pads to block_q
+        k = jax.random.normal(jax.random.fold_in(key, 1), (1, 77, 2, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (1, 77, 2, 64))
+        got = ba.block_attention_bnhd(q, k, v, 0.125, 77, 256)
+        ref = jnp.swapaxes(
+            _ref(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                 jnp.swapaxes(v, 1, 2), 0.125, 77),
+            1, 2,
+        )
+        assert got.shape == (1, 200, 2, 64)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
