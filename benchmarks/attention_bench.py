@@ -67,6 +67,19 @@ def main():
             lambda x, k, v, d=d: _xla_attention(x, k, v, d**-0.5),
             q, kv,
         )
+        if h > 1 and 128 < kv.shape[1] <= 4096:
+            from custom_diffusion360_tpu.ops.block_attention import (
+                block_attention_bnhd,
+            )
+
+            bq = 256 if kv.shape[1] > 2048 else 512
+            bench(
+                f"{name} block-bnhd",
+                lambda x, k, v, d=d, bq=bq: block_attention_bnhd(
+                    x, k, v, d**-0.5, None, bq
+                ),
+                q, kv,
+            )
 
 
 if __name__ == "__main__":
