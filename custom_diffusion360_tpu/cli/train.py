@@ -235,8 +235,17 @@ def main(argv=None):
             print("SIGUSR1: writing checkpoint")
             save_train_state(ckpt_dir, state)
 
+    # SIGUSR2 -> drop into the debugger (the reference's 'divein',
+    # main.py:1066-1072)
+    def divein(*_):
+        if is_main:
+            import pdb
+
+            pdb.set_trace()
+
     try:
         signal.signal(signal.SIGUSR1, melk)
+        signal.signal(signal.SIGUSR2, divein)
     except (ValueError, OSError):
         pass
 

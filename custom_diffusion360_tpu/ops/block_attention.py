@@ -231,6 +231,7 @@ def _forward_bnhd(q, k, v, scale, kv_len, block_q):
     return out[:, :n]
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def block_attention_bnhd(q, k, v, scale, kv_len=None, block_q=512):
     """block_attention for (b, n, h, d)-layout operands (no swapaxes).
     Falls back to the transposed path off-TPU."""
@@ -266,3 +267,27 @@ def _bwd(scale, kv_len, block_q, res, g):
 
 
 block_attention.defvjp(_fwd, _bwd)
+
+
+def _fwd_bnhd(q, k, v, scale, kv_len, block_q):
+    return block_attention_bnhd(q, k, v, scale, kv_len, block_q), (q, k, v)
+
+
+def _bwd_bnhd(scale, kv_len, block_q, res, g):
+    """Recompute-based backward, (b, n, h, d) layout (f32 XLA einsums)."""
+    q, k, v = res
+    qf, kf, vf, gf = (t.astype(jnp.float32) for t in (q, k, v, g))
+    s = jnp.einsum("bnhd,bmhd->bhnm", qf, kf) * scale
+    if kv_len is not None and kv_len < k.shape[1]:
+        mask = jnp.arange(k.shape[1]) < kv_len
+        s = jnp.where(mask[None, None, None], s, -1e30)
+    p = jax.nn.softmax(s, axis=-1)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", p, gf)
+    dp = jnp.einsum("bnhd,bmhd->bhnm", gf, vf)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bmhd->bnhd", ds, kf) * scale
+    dk = jnp.einsum("bhnm,bnhd->bmhd", ds, qf) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+block_attention_bnhd.defvjp(_fwd_bnhd, _bwd_bnhd)

@@ -89,3 +89,26 @@ class TestBnhdKernel:
         assert got.shape == (1, 200, 2, 64)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    atol=2e-5)
+
+    def test_gradient_matches(self):
+        """Custom VJP (bnhd layout) vs autodiff through the XLA reference,
+        with distinct q/k/v cotangents and a KV mask in play."""
+        key = jax.random.PRNGKey(9)
+        q = jax.random.normal(key, (1, 128, 2, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (1, 77, 2, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (1, 77, 2, 64))
+        w = jax.random.normal(jax.random.fold_in(key, 3), (1, 128, 2, 64))
+
+        def loss_kernel(q, k, v):
+            return (ba.block_attention_bnhd(q, k, v, 0.125, 77, 128) * w).sum()
+
+        def loss_ref(q, k, v):
+            o = _ref(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+                     jnp.swapaxes(v, 1, 2), 0.125, 77)
+            return (jnp.swapaxes(o, 1, 2) * w).sum()
+
+        g1 = jax.grad(loss_kernel, argnums=(0, 1, 2))(q, k, v)
+        g2 = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-4)
