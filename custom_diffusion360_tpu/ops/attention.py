@@ -17,9 +17,15 @@ activations in; transposition to the kernel layout happens here.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# A/B switch for the transpose-free (b,n,h,d) block kernel: flip via env
+# CD360_ATTN_BNHD=1 to measure the in-graph step without code edits.
+# Default stays on the swapaxes+bhnd path until a trace shows bnhd wins.
+_USE_BNHD = os.environ.get("CD360_ATTN_BNHD", "") == "1"
 
 _FLASH = None
 
@@ -102,15 +108,17 @@ def dot_product_attention(
             impl = "xla"
 
     if impl == "block":
-        from .block_attention import block_attention
+        from .block_attention import block_attention, block_attention_bnhd
 
+        # tuned on v5e (all-heads kernel): long KV needs a smaller q block
+        # to bound the f32 scores tile; 512 wins everywhere else
+        bq = 256 if k.shape[1] > 2048 else 512
+        if _USE_BNHD:
+            return block_attention_bnhd(q, k, v, scale, None, bq)
         qt = jnp.swapaxes(q, 1, 2)
         # self-attention passes the same array three times — transpose once
         kt = qt if k is q else jnp.swapaxes(k, 1, 2)
         vt = kt if v is k else jnp.swapaxes(v, 1, 2)
-        # tuned on v5e (all-heads kernel): long KV needs a smaller q block
-        # to bound the f32 scores tile; 512 wins everywhere else
-        bq = 256 if kt.shape[2] > 2048 else 512
         out = block_attention(qt, kt, vt, scale, None, bq)
         return jnp.swapaxes(out, 1, 2)
 
