@@ -231,9 +231,14 @@ def main(argv=None):
     import signal
 
     def melk(*_):
-        if is_main:
+        # orbax save is a collective (every process must enter it); from a
+        # signal handler only the single-process case is safe to run
+        if jax.process_count() == 1:
             print("SIGUSR1: writing checkpoint")
             save_train_state(ckpt_dir, state)
+        elif is_main:
+            print("SIGUSR1 ignored under multi-process (collective save "
+                  "cannot run from a signal handler)")
 
     # SIGUSR2 -> drop into the debugger (the reference's 'divein',
     # main.py:1066-1072)
@@ -337,7 +342,9 @@ def main(argv=None):
                     )
             if args.ckpt_every and step and step % args.ckpt_every == 0 and is_main:
                 _save_delta(args, eng, state.params, None, cfg, tag=f"step{step}")
-            if args.full_ckpt_every and step and step % args.full_ckpt_every == 0 and is_main:
+            if args.full_ckpt_every and step and step % args.full_ckpt_every == 0:
+                # all processes enter: orbax coordinates internally and
+                # syncs at the end (rank-gating this deadlocks rank 0)
                 save_train_state(ckpt_dir, state)
             # reference ImageLogger schedule (main.py:397,511-517): every
             # batch_freq steps PLUS logarithmically spaced early steps
@@ -374,14 +381,15 @@ def main(argv=None):
                     meter.log_images(step, name, path)
     except KeyboardInterrupt:
         # checkpoint-on-interrupt (the reference's melk/on_exception handlers,
-        # main.py:322-329,1053-1072)
-        if is_main:
+        # main.py:322-329,1053-1072); multi-process: peers may already be
+        # gone, so a collective save would hang — skip it there
+        if jax.process_count() == 1:
             print("interrupted — writing last checkpoint")
             save_train_state(ckpt_dir, state)
         raise
 
-    if is_main:
-        save_train_state(ckpt_dir, state)
+    # every process enters the (collective) orbax save
+    save_train_state(ckpt_dir, state)
     if args.use_ema:
         state = state._replace(params=ema_swap(state.params, ema_state))
     print(f"training done in {time.time()-t_start:.0f}s")
@@ -494,8 +502,12 @@ def _synthetic_batches(args, cfg, tok_clip, tok_open):
     from ..geometry.cameras import Cameras
     from ..geometry import stack_cameras
 
-    rng = np.random.default_rng(0)
-    b = args.batch_size * max(__import__("jax").device_count(), 1)
+    import jax
+
+    # LOCAL rows: under multi-process, shard_batch assembles the global
+    # batch from each process's local rows (like the real loader path)
+    rng = np.random.default_rng(jax.process_index())
+    b = args.batch_size * max(jax.local_device_count(), 1)
     n = args.num_images - 1
     s = args.img_size
     out = []
