@@ -21,11 +21,11 @@ N_FRAMES = 12
 IMG_W, IMG_H = 80, 60
 
 
-@pytest.fixture(scope="module")
-def co3d_root(tmp_path_factory):
+def make_synthetic_co3d(root):
+    """Write a tiny CO3Dv2-shaped dataset (images, masks, jgz annotations,
+    set lists, bboxes) under ``root``. Shared with the real-data CLI test."""
     from PIL import Image
 
-    root = tmp_path_factory.mktemp("co3d")
     cat = root / "car"
     seq = "seq0"
     (cat / "set_lists").mkdir(parents=True)
@@ -71,6 +71,11 @@ def co3d_root(tmp_path_factory):
     with gzip.open(cat / "car_bbox.jgz", "wt") as f:
         json.dump(bboxes, f)
     return str(root)
+
+
+@pytest.fixture(scope="module")
+def co3d_root(tmp_path_factory):
+    return make_synthetic_co3d(tmp_path_factory.mktemp("co3d"))
 
 
 def _cfg(co3d_root, **kw):
