@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import dataclasses
 import math
+import os
 from typing import Any
 
 import jax
@@ -570,6 +571,23 @@ def nerf_encoding_split(
 # ---------------------------------------------------------------------------
 
 
+# A/B switch: defer the chunk-scan output transpose until after the volume
+# render (see nerfsd_apply docstring). Flip via env without code edits.
+_CHUNKED_OUT = os.environ.get("CD360_CHUNKED_RENDER", "") == "1"
+
+
+def _to_chunked(x, nc):
+    """(B, hw, ...) -> (nc, B, hw//nc, ...). Small per-ray tensors only."""
+    b, hw = x.shape[:2]
+    return jnp.moveaxis(x.reshape((b, nc, hw // nc) + x.shape[2:]), 1, 0)
+
+
+def from_chunked(x):
+    """(nc, B, chunk, ...) -> (B, nc*chunk, ...) — undo the scan layout."""
+    nc, b, chunk = x.shape[:3]
+    return jnp.moveaxis(x, 0, 1).reshape((b, nc * chunk) + x.shape[3:])
+
+
 def nerfsd_apply(
     params,
     cams: Cameras,
@@ -580,9 +598,18 @@ def nerfsd_apply(
     training: bool,
     prev_weights=None,
     imp_sample_next_step: bool = False,
+    chunked: bool | None = None,
 ):
     """Ray-march + encode. Returns dict(features, sigma, dists, attn, rgb,
     sigma_uniform, dists_uniform); shapes (B, hw, S, *).
+
+    When ``chunked`` (default: env CD360_CHUNKED_RENDER=1) and the ray-chunk
+    scan runs, the per-point tensors are returned in the scan's native
+    (nc, B, chunk, S, *) layout and the result dict carries ``chunked=nc``.
+    Assembling (B, hw, S, C) from the stacked chunk outputs is a full
+    feature-volume transpose (~0.5 GB at ds2); the caller's per-point text
+    attention and the volume render are ray-order-invariant, so the
+    transpose can wait until after the render collapses S (24x fewer bytes).
 
     Uses the split/commuted encoding (see nerf_encoding_split): the
     plane-feature map projection and the per-ray geometry contractions are
@@ -597,6 +624,8 @@ def nerfsd_apply(
     blocks; trace in NOTES.md). The batched row-per-row form is what XLA
     schedules best here.)
     """
+    if chunked is None:
+        chunked = _CHUNKED_OUT
     resolution = int(math.sqrt(xref.shape[2]))
     march = raymarch(
         cams,
@@ -617,7 +646,7 @@ def nerfsd_apply(
             return nerf_encoding_split(
                 params, cams, proj, geo_ray, logit_ray, points, cfg,
                 sigma_only=sigma_only,
-            )
+            ) + (None,)
         while hw % chunk:
             chunk //= 2
         nc = hw // chunk
@@ -647,10 +676,12 @@ def nerfsd_apply(
             return None, o.astype(jnp.float32)
 
         _, ys = jax.lax.scan(body, None, jnp.arange(nc))
+        if chunked:
+            return ys, None, nc  # (nc, b, chunk, s, width) — scan-native
         out = jnp.moveaxis(ys, 0, 1).reshape(b, hw, s, width)
-        return out, None
+        return out, None, None
 
-    out, attn = encode(march["ray_points"])
+    out, attn, nc = encode(march["ray_points"])
     sigma = out[..., -1:]
     features = out[..., :-1]
     rgb = None
@@ -658,18 +689,25 @@ def nerfsd_apply(
         rgb = features[..., -3:]
         features = features[..., :-3]
 
+    dists = march["dists"][..., None]
+    if nc:
+        dists = _to_chunked(dists, nc)
+
     sigma_uniform = dists_uniform = None
     if imp_sample_next_step:
-        sig_u, _ = encode(march["ray_points_uniform"], sigma_only=True)
+        sig_u, _, nc_u = encode(march["ray_points_uniform"], sigma_only=True)
         sigma_uniform = jax.lax.stop_gradient(sig_u)
         dists_uniform = march["dists_uniform"][..., None]
+        if nc_u:
+            dists_uniform = _to_chunked(dists_uniform, nc_u)
 
     return dict(
         features=features,
         sigma=sigma,
-        dists=march["dists"][..., None],
+        dists=dists,
         attn=attn,
         rgb=rgb,
         sigma_uniform=sigma_uniform,
         dists_uniform=dists_uniform,
+        chunked=nc,
     )

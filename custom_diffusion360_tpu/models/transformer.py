@@ -25,7 +25,7 @@ import jax.numpy as jnp
 from ..geometry.cameras import Cameras
 from ..ops.attention import dot_product_attention
 from ..ops.volume_render import volume_render
-from .nerf import NerfConfig, init_nerf_params, nerfsd_apply
+from .nerf import NerfConfig, from_chunked, init_nerf_params, nerfsd_apply
 from .nn import (
     gelu,
     group_norm,
@@ -284,17 +284,32 @@ def _reference_attn(
         prev_weights=prev_weights if cfg.use_prev_weights_imp_sample else None,
         imp_sample_next_step=cfg.block_imp_sample_next(d),
     )
-    feats = nerf_out["features"]  # (B, hw, S, C) f32
-    b, hw, s, c = feats.shape
+    feats = nerf_out["features"]  # (B, hw, S, C) f32 — or chunked layout
+    nc = nerf_out.get("chunked")
+    if nc:
+        # scan-native (nc, B, chunk, S, C): the per-point text attention is
+        # ray-order-invariant, so run it as batch nc*B and transpose only
+        # the rendered (S-collapsed) outputs below.
+        _, b, chunk_hw, s, c = feats.shape
+        hw = nc * chunk_hw
+        pre = feats.shape[:3]
+        feats = feats.reshape(nc * b, chunk_hw * s, c)
+        ctx = jnp.broadcast_to(
+            context[None], (nc,) + context.shape
+        ).reshape((nc * context.shape[0],) + context.shape[1:])
+    else:
+        b, hw, s, c = feats.shape
+        pre = (b, hw)
+        feats = feats.reshape(b, hw * s, c)
+        ctx = context
     cdt = cfg.nerf.cdtype  # f32 reproduces the reference island exactly
-    feats = feats.reshape(b, hw * s, c)
     feats = feats + cross_attention_apply(
         p["attn2"],
         layer_norm(p["norm2"], feats.astype(cdt)),
-        context.astype(cdt),
+        ctx.astype(cdt),
         n_heads=cfg.n_heads,
     ).astype(jnp.float32)
-    feats = feats.reshape(b, hw, s, c)
+    feats = feats.reshape(pre + (s, c))
 
     sigma = trunc_exp(nerf_out["sigma"])
     sigma_uniform = (
@@ -314,13 +329,17 @@ def _reference_attn(
     new_prev = (
         rendered["weights_uniform"] if cfg.use_prev_weights_imp_sample else None
     )
-    return (
-        rendered["feats"],
-        rendered["fg_mask"],
-        new_prev,
-        rendered["alphas"],
-        rendered["rgb"],
-    )
+    out_feats = rendered["feats"]
+    fg_mask, alphas, rgb_out = rendered["fg_mask"], rendered["alphas"], rendered["rgb"]
+    if nc:
+        out_feats = from_chunked(out_feats)
+        fg_mask = from_chunked(fg_mask)
+        alphas = from_chunked(alphas)
+        if rgb_out is not None:
+            rgb_out = from_chunked(rgb_out)
+        if new_prev is not None:
+            new_prev = from_chunked(new_prev)
+    return (out_feats, fg_mask, new_prev, alphas, rgb_out)
 
 
 def transformer_block_apply(

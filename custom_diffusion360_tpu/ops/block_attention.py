@@ -234,12 +234,30 @@ def _forward_bnhd(q, k, v, scale, kv_len, block_q):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def block_attention_bnhd(q, k, v, scale, kv_len=None, block_q=512):
     """block_attention for (b, n, h, d)-layout operands (no swapaxes).
-    Falls back to the transposed path off-TPU."""
+
+    MEASURED NEGATIVE on real v5e Mosaic (2026-08-18): the transpose-free
+    kernel CANNOT compile there. With (h, d) as the block's last two dims,
+    Mosaic tiles (sublane, lane) over (h, d), so the per-head slice inside
+    the kernel is a rank-expanding vector shape cast it rejects
+    (tpu.reshape (bq,d)->(1,bq,1,d)); and gridding one head per block
+    violates the second-minor divisibility rule (block h=1 vs array h=10).
+    The head axis must be a non-tiled leading block axis — which IS the
+    (b, h, n, d) layout of block_attention. On TPU this therefore delegates
+    to the bhnd kernel (XLA fuses the surrounding swapaxes; measured
+    ~2.5 ms/step of layout copies, the price of MXU-aligned tiles).
+    Interpret mode still runs the true bnhd kernel for CI coverage.
+    """
     if not _HAS_PALLAS or (
         jax.devices()[0].platform != "tpu" and not _INTERPRET
     ):
         out = _xla_f32(jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
                        jnp.swapaxes(v, 1, 2), scale, kv_len)
+        return jnp.swapaxes(out, 1, 2)
+    if not _INTERPRET:
+        out = block_attention(
+            jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
+            jnp.swapaxes(v, 1, 2), scale, kv_len, block_q,
+        )
         return jnp.swapaxes(out, 1, 2)
     return _forward_bnhd(q, k, v, scale, kv_len, block_q)
 

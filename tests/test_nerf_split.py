@@ -94,6 +94,28 @@ def test_chunked_matches_unchunked():
         )
 
 
+def test_chunked_layout_matches_assembled():
+    """chunked=True returns the scan-native (nc, B, chunk, S, *) layout;
+    reassembling with from_chunked must reproduce the default layout."""
+    from custom_diffusion360_tpu.models.nerf import from_chunked
+
+    cfg_c = NerfConfig(dim=C, num_samples=S, chunk_size=16)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg_c)
+    cams = make_cams(B * (1 + N)).reshape(B, 1 + N)
+    xref = jax.random.normal(jax.random.PRNGKey(1), (B, N, RES * RES, C)) * 0.3
+    base = nerfsd_apply(params, cams, xref, None, cfg_c, None, False,
+                        imp_sample_next_step=True, chunked=False)
+    chk = nerfsd_apply(params, cams, xref, None, cfg_c, None, False,
+                       imp_sample_next_step=True, chunked=True)
+    nc = chk["chunked"]
+    assert nc == (RES * RES) // 16
+    for k in ("features", "sigma", "rgb", "sigma_uniform", "dists",
+              "dists_uniform"):
+        np.testing.assert_allclose(
+            base[k], from_chunked(chk[k]), rtol=1e-6, atol=1e-7, err_msg=k
+        )
+
+
 def test_onehot_sampler_matches_gather():
     key = jax.random.PRNGKey(0)
     fm = jax.random.normal(key, (4, 8, 8, 16))

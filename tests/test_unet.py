@@ -113,6 +113,35 @@ def test_unet_nerf_cache_path(tiny_params):
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
 
 
+def test_unet_chunked_render_layout_matches(tiny_params, monkeypatch):
+    """The deferred-transpose (scan-native chunked) render layout must be a
+    pure re-layout: full dual-stream UNet outputs identical either way."""
+    import dataclasses
+
+    from custom_diffusion360_tpu.models import nerf as nerf_mod
+
+    cfg = dataclasses.replace(TINY, nerf_chunk_size=16)  # hw=64 -> nc=4
+    x, xr, t, ctx, y, cams = _tiny_inputs()
+    key = jax.random.PRNGKey(1)
+    kw = dict(
+        input_ref=xr, sigmas_ref=jnp.full((1,), 10.0), cams=cams,
+        key=key, training=True,
+    )
+    monkeypatch.setattr(nerf_mod, "_CHUNKED_OUT", False)
+    out1, aux1 = unet_apply(tiny_params, cfg, x, t, ctx, y, **kw)
+    monkeypatch.setattr(nerf_mod, "_CHUNKED_OUT", True)
+    out2, aux2 = unet_apply(tiny_params, cfg, x, t, ctx, y, **kw)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(aux1["fg_mask_list"][0]), np.asarray(aux2["fg_mask_list"][0]),
+        atol=1e-5,
+    )
+    np.testing.assert_allclose(
+        np.asarray(aux1["rgb_list"][0]), np.asarray(aux2["rgb_list"][0]),
+        atol=1e-5,
+    )
+
+
 def test_unet_gradients_flow_only_through_target_stream(tiny_params):
     """Gradients w.r.t. pose params must be nonzero; gradients w.r.t. the
     reference latents must be zero (the reference detaches the ref stream)."""
