@@ -36,18 +36,23 @@ A100_X2_IMAGES_PER_MIN = 10.0
 
 def _enable_compile_cache():
     """Persistent compile cache: first bench run on a machine pays the big
-    XLA compile; later runs (and driver re-runs) restore in seconds."""
-    import jax
+    XLA compile; later runs (and driver re-runs) restore in seconds. CPU
+    entries are keyed by host ISA (utils/cache.py) so a foreign machine's
+    AOT executables can never SIGILL this one."""
+    from custom_diffusion360_tpu.utils.cache import setup_compile_cache
 
-    cache_dir = os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR",
-        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache"),
-    )
-    try:
-        jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
-    except Exception:
-        pass
+    setup_compile_cache(os.environ.get("JAX_COMPILATION_CACHE_DIR"))
+
+
+def _emit(result, secondary):
+    """Headline record -> stdout (the ONE driver-parsed JSON line);
+    secondary records -> stderr, tagged, so they land in the driver's tail
+    without confusing its stdout parse."""
+    if secondary:
+        result = dict(result, secondary=True)
+        print(json.dumps(result), file=sys.stderr)
+    else:
+        print(json.dumps(result))
 
 
 def _force(t):
@@ -82,7 +87,7 @@ def _init_on_cpu(fn, key, dtype):
     return fast_random_params(fn, key, dtype)
 
 
-def bench_sample(args):
+def bench_sample(args, secondary=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -213,7 +218,7 @@ def bench_sample(args):
         "unit": "images/min",
         "vs_baseline": round(images_per_min / A100_X2_IMAGES_PER_MIN, 3),
     }
-    print(json.dumps(result))
+    _emit(result, secondary)
     print(
         f"# t_sample={t_sample:.2f}s (runs: {[round(t,2) for t in times]}) "
         f"t_cond={t_cond*1e3:.0f}ms compile_sample={compile_sample:.0f}s "
@@ -222,7 +227,7 @@ def bench_sample(args):
     )
 
 
-def bench_train(args):
+def bench_train(args, secondary=False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -302,7 +307,7 @@ def bench_train(args):
         "unit": "images/min",
         "vs_baseline": None,
     }
-    print(json.dumps(result))
+    _emit(result, secondary)
     print(
         f"# t_step={t_step:.2f}s (runs: {[round(t,2) for t in times]}) "
         f"compile={compile_t:.0f}s loss={float(metrics['loss']):.3f}",
@@ -325,12 +330,32 @@ def main():
     ap.add_argument("--train", action="store_true",
                     help="measure training step throughput instead")
     ap.add_argument("--train_res", type=int, default=512)
+    ap.add_argument("--no_secondary", action="store_true",
+                    help="headline record only (skip 512^2 + train lines)")
     args = ap.parse_args()
 
     if args.train:
         bench_train(args)
-    else:
-        bench_sample(args)
+        return
+    bench_sample(args)
+    # Secondary records (VERDICT r2): the reference's OWN 512^2 sampling
+    # workload and the training-step throughput, as driver-tail JSON so the
+    # favorable numbers are artifacts, not NOTES claims. Best-effort: any
+    # failure here must not corrupt the already-printed headline.
+    if args.no_secondary or os.environ.get("CD360_BENCH_SECONDARY") == "0":
+        return
+    import copy
+
+    try:
+        a2 = copy.copy(args)
+        a2.latent = 64  # 512^2 — the resolution reference sample.py uses
+        bench_sample(a2, secondary=True)
+    except Exception as e:  # pragma: no cover
+        print(f"# secondary 512^2 bench failed: {e!r}", file=sys.stderr)
+    try:
+        bench_train(copy.copy(args), secondary=True)
+    except Exception as e:  # pragma: no cover
+        print(f"# secondary train bench failed: {e!r}", file=sys.stderr)
 
 
 if __name__ == "__main__":

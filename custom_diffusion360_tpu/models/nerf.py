@@ -603,6 +603,13 @@ def nerfsd_apply(
     """Ray-march + encode. Returns dict(features, sigma, dists, attn, rgb,
     sigma_uniform, dists_uniform); shapes (B, hw, S, *).
 
+    NOTE the result dict's ``chunked`` entry is a STATIC Python int (or
+    None) mixed in with array leaves — jit-safe for the single in-repo
+    caller (_reference_attn reads it at trace time), but tree-mapping or
+    device-transferring the dict wholesale will trip on it. ``chunked=True``
+    is also best-effort: when hw <= chunk_size the scan never runs and the
+    output comes back in the default (B, hw, S, *) layout with chunked=None.
+
     When ``chunked`` (default: env CD360_CHUNKED_RENDER=1) and the ray-chunk
     scan runs, the per-point tensors are returned in the scan's native
     (nc, B, chunk, S, *) layout and the result dict carries ``chunked=nc``.

@@ -286,28 +286,40 @@ def _reference_attn(
     )
     feats = nerf_out["features"]  # (B, hw, S, C) f32 — or chunked layout
     nc = nerf_out.get("chunked")
+    cdt = cfg.nerf.cdtype  # f32 reproduces the reference island exactly
+    if nc and context is None:
+        # Self-attention is NOT ray-order-invariant across chunks; fold the
+        # chunked layout back to (B, hw, S, C) and take the default path.
+        _, b, chunk_hw, s, c = feats.shape
+        feats = jnp.moveaxis(feats, 0, 1).reshape(b, nc * chunk_hw, s, c)
+        nc = None
     if nc:
         # scan-native (nc, B, chunk, S, C): the per-point text attention is
         # ray-order-invariant, so run it as batch nc*B and transpose only
-        # the rendered (S-collapsed) outputs below.
+        # the rendered (S-collapsed) outputs below. The context k/v are
+        # projected ONCE and tiled over the nc chunk copies.
         _, b, chunk_hw, s, c = feats.shape
-        hw = nc * chunk_hw
         pre = feats.shape[:3]
         feats = feats.reshape(nc * b, chunk_hw * s, c)
-        ctx = jnp.broadcast_to(
-            context[None], (nc,) + context.shape
-        ).reshape((nc * context.shape[0],) + context.shape[1:])
+        ctx = None
+        kv = tuple(
+            jnp.broadcast_to(t[None], (nc,) + t.shape).reshape(
+                (nc * t.shape[0],) + t.shape[1:]
+            )
+            for t in context_kv(p["attn2"], context.astype(cdt))
+        )
     else:
         b, hw, s, c = feats.shape
         pre = (b, hw)
         feats = feats.reshape(b, hw * s, c)
-        ctx = context
-    cdt = cfg.nerf.cdtype  # f32 reproduces the reference island exactly
+        ctx = None if context is None else context.astype(cdt)
+        kv = None
     feats = feats + cross_attention_apply(
         p["attn2"],
         layer_norm(p["norm2"], feats.astype(cdt)),
-        ctx.astype(cdt),
+        ctx,
         n_heads=cfg.n_heads,
+        kv=kv,
     ).astype(jnp.float32)
     feats = feats.reshape(pre + (s, c))
 

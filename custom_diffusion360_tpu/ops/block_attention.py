@@ -254,12 +254,26 @@ def block_attention_bnhd(q, k, v, scale, kv_len=None, block_q=512):
                        jnp.swapaxes(v, 1, 2), scale, kv_len)
         return jnp.swapaxes(out, 1, 2)
     if not _INTERPRET:
+        global _BNHD_DELEGATION_WARNED
+        if not _BNHD_DELEGATION_WARNED:
+            _BNHD_DELEGATION_WARNED = True
+            import sys
+
+            print(
+                "[block_attention] NOTE: bnhd kernel cannot compile on real "
+                "TPU Mosaic (see docstring); delegating to the bhnd kernel "
+                "— CD360_ATTN_BNHD=1 measures nothing on TPU.",
+                file=sys.stderr,
+            )
         out = block_attention(
             jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2),
             jnp.swapaxes(v, 1, 2), scale, kv_len, block_q,
         )
         return jnp.swapaxes(out, 1, 2)
     return _forward_bnhd(q, k, v, scale, kv_len, block_q)
+
+
+_BNHD_DELEGATION_WARNED = False
 
 
 def _fwd(q, k, v, scale, kv_len, block_q):
