@@ -19,10 +19,16 @@ class EmaState(NamedTuple):
 
 
 def ema_init(params, mask=None) -> EmaState:
+    # jnp.copy, not aliasing: the train loop donates its carried state into
+    # the jitted step (train.py donate_argnums), which DELETES the original
+    # param buffers — an aliased shadow would then hold dead arrays and the
+    # first ema_update after step 0 raises "Array has been deleted".
     if mask is not None:
-        shadow = jax.tree.map(lambda p, m: p if m else None, params, mask)
+        shadow = jax.tree.map(
+            lambda p, m: jnp.copy(p) if m else None, params, mask
+        )
     else:
-        shadow = params
+        shadow = jax.tree.map(jnp.copy, params)
     return EmaState(shadow, jnp.zeros((), jnp.int32))
 
 

@@ -38,6 +38,19 @@ class TestEma:
         np.testing.assert_allclose(np.asarray(merged["a"]), expect, rtol=1e-5)
         np.testing.assert_allclose(np.asarray(merged["b"]), 5.0)
 
+    def test_init_survives_donated_params(self):
+        # The train CLI donates the carried state into the jitted step
+        # (train.py donate_argnums=(0,)), which deletes the original param
+        # buffers. The shadow tree must be copies, not aliases, or the
+        # first ema_update after step 0 sees dead arrays. Donation is a
+        # no-op on CPU, so simulate the deletion directly.
+        params = {"a": jnp.zeros(3), "b": jnp.ones(2)}
+        st = ema_init(params, {"a": True, "b": False})
+        params["a"].delete()
+        new_params = {"a": jnp.ones(3), "b": jnp.ones(2)}
+        st = ema_update(st, new_params, decay=0.5)  # must not raise
+        assert np.isfinite(np.asarray(st.shadow["a"])).all()
+
 
 class TestSchedules:
     def test_warmup_cosine(self):
