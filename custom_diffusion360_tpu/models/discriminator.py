@@ -128,7 +128,16 @@ def discriminator_apply(params, x, n_layers=3, use_actnorm=False):
         h = (actnorm_apply(blk["norm"], h) if use_actnorm
              else _batch_norm(blk["norm"], h))
         h = _leaky_relu(h)
-    return _conv4(params["conv_out"], h, 1)
+    y = _conv4(params["conv_out"], h, 1)
+    if 0 in y.shape:
+        # A 4x4/pad-1 conv on inputs below the receptive field silently
+        # emits a zero-size map; a mean over it is NaN. Static check — free
+        # under jit.
+        raise ValueError(
+            f"discriminator input {x.shape} too small for n_layers="
+            f"{n_layers}: patch-logit map has shape {y.shape}"
+        )
+    return y
 
 
 # ---------------------------------------------------------------------------
