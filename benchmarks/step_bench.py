@@ -62,6 +62,8 @@ def main():
                     help="write the compiled cached-step HLO text to FILE")
     ap.add_argument("--profile_render", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render step")
+    ap.add_argument("--profile_vae", default=None, metavar="DIR",
+                    help="write a jax.profiler trace of the VAE decode")
     ap.add_argument("--render_only", action="store_true",
                     help="time only the render (first) step and exit")
     ap.add_argument("--render_iters", type=int, default=1,
@@ -268,6 +270,11 @@ def main():
         t0 = time.time()
         force(dec(vparams, x1))
         t_vae = time.time() - t0
+        if args.profile_vae:
+            with jax.profiler.trace(args.profile_vae):
+                for _ in range(3):
+                    y = dec(vparams, x1)
+                force(y)
 
     total = t_first + (args.steps - 1) * t_step + t_vae
     images_per_min = 60.0 * b / total
