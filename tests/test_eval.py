@@ -1,5 +1,14 @@
-"""Eval subsystem tests: InceptionV3 vs an inline torch re-derivation,
-Frechet distance vs scipy/closed form, CLIP score sanity."""
+"""Eval subsystem tests: InceptionV3 vs an INDEPENDENT torch re-derivation,
+Frechet distance vs scipy/closed form, CLIP score sanity.
+
+The torch executor below is hand-transcribed from torchvision's Inception3
+(torchvision/models/inception.py) with pytorch_fid's three FID patches
+(FIDInceptionA/C/E_1 use count_include_pad=False avg-pools, FIDInceptionE_2
+uses a max pool branch). It deliberately shares NOTHING with
+eval/inception.py's declarative BLOCKS spec — no imported tables, no spec
+walking — so a transcription error in the spec itself (wrong branch wiring,
+padding, stride, or channel count) fails parity here instead of passing
+self-referentially."""
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -12,7 +21,6 @@ from custom_diffusion360_tpu.eval.fid import (
 )
 from custom_diffusion360_tpu.eval.inception import (
     BLOCKS,
-    BN_EPS,
     _STEM,
     _TORCH_NAMES,
     inception_pool3_features,
@@ -23,81 +31,173 @@ from custom_diffusion360_tpu.eval.inception import (
 torch = pytest.importorskip("torch")
 
 
-# --- torch executor over the same declarative spec ------------------------
+# --- independent torch executor (hand-coded FID-Inception topology) --------
+# Conv weight shapes (out, in, kh, kw) per qualified torch name, transcribed
+# from torchvision Inception3.__init__ channel math — NOT from our spec.
+
+def _conv_shapes():
+    shapes = {
+        "Conv2d_1a_3x3": (32, 3, 3, 3),
+        "Conv2d_2a_3x3": (32, 32, 3, 3),
+        "Conv2d_2b_3x3": (64, 32, 3, 3),
+        "Conv2d_3b_1x1": (80, 64, 1, 1),
+        "Conv2d_4a_3x3": (192, 80, 3, 3),
+    }
+    # InceptionA(in_channels, pool_features)
+    for pre, cin, pf in (("Mixed_5b", 192, 32), ("Mixed_5c", 256, 64),
+                         ("Mixed_5d", 288, 64)):
+        shapes.update({
+            f"{pre}.branch1x1": (64, cin, 1, 1),
+            f"{pre}.branch5x5_1": (48, cin, 1, 1),
+            f"{pre}.branch5x5_2": (64, 48, 5, 5),
+            f"{pre}.branch3x3dbl_1": (64, cin, 1, 1),
+            f"{pre}.branch3x3dbl_2": (96, 64, 3, 3),
+            f"{pre}.branch3x3dbl_3": (96, 96, 3, 3),
+            f"{pre}.branch_pool": (pf, cin, 1, 1),
+        })
+    # InceptionB(288)
+    shapes.update({
+        "Mixed_6a.branch3x3": (384, 288, 3, 3),
+        "Mixed_6a.branch3x3dbl_1": (64, 288, 1, 1),
+        "Mixed_6a.branch3x3dbl_2": (96, 64, 3, 3),
+        "Mixed_6a.branch3x3dbl_3": (96, 96, 3, 3),
+    })
+    # InceptionC(768, channels_7x7)
+    for pre, c7 in (("Mixed_6b", 128), ("Mixed_6c", 160), ("Mixed_6d", 160),
+                    ("Mixed_6e", 192)):
+        shapes.update({
+            f"{pre}.branch1x1": (192, 768, 1, 1),
+            f"{pre}.branch7x7_1": (c7, 768, 1, 1),
+            f"{pre}.branch7x7_2": (c7, c7, 1, 7),
+            f"{pre}.branch7x7_3": (192, c7, 7, 1),
+            f"{pre}.branch7x7dbl_1": (c7, 768, 1, 1),
+            f"{pre}.branch7x7dbl_2": (c7, c7, 7, 1),
+            f"{pre}.branch7x7dbl_3": (c7, c7, 1, 7),
+            f"{pre}.branch7x7dbl_4": (c7, c7, 7, 1),
+            f"{pre}.branch7x7dbl_5": (192, c7, 1, 7),
+            f"{pre}.branch_pool": (192, 768, 1, 1),
+        })
+    # InceptionD(768)
+    shapes.update({
+        "Mixed_7a.branch3x3_1": (192, 768, 1, 1),
+        "Mixed_7a.branch3x3_2": (320, 192, 3, 3),
+        "Mixed_7a.branch7x7x3_1": (192, 768, 1, 1),
+        "Mixed_7a.branch7x7x3_2": (192, 192, 1, 7),
+        "Mixed_7a.branch7x7x3_3": (192, 192, 7, 1),
+        "Mixed_7a.branch7x7x3_4": (192, 192, 3, 3),
+    })
+    # InceptionE(1280) then InceptionE(2048)
+    for pre, cin in (("Mixed_7b", 1280), ("Mixed_7c", 2048)):
+        shapes.update({
+            f"{pre}.branch1x1": (320, cin, 1, 1),
+            f"{pre}.branch3x3_1": (384, cin, 1, 1),
+            f"{pre}.branch3x3_2a": (384, 384, 1, 3),
+            f"{pre}.branch3x3_2b": (384, 384, 3, 1),
+            f"{pre}.branch3x3dbl_1": (448, cin, 1, 1),
+            f"{pre}.branch3x3dbl_2": (384, 448, 3, 3),
+            f"{pre}.branch3x3dbl_3a": (384, 384, 1, 3),
+            f"{pre}.branch3x3dbl_3b": (384, 384, 3, 1),
+            f"{pre}.branch_pool": (192, cin, 1, 1),
+        })
+    return shapes
 
 
-def _t_bc(p, x, spec):
-    _, _, _, _, stride, (ph, pw) = spec
-    w = torch.tensor(np.asarray(p["w"]).transpose(3, 2, 0, 1))
-    y = torch.nn.functional.conv2d(x, w, None, stride=stride,
-                                   padding=(ph, pw))
-    y = torch.nn.functional.batch_norm(
-        y,
-        torch.tensor(np.asarray(p["bn_mean"])),
-        torch.tensor(np.asarray(p["bn_var"])),
-        torch.tensor(np.asarray(p["bn_scale"])),
-        torch.tensor(np.asarray(p["bn_bias"])),
-        training=False, eps=BN_EPS,
-    )
-    return torch.relu(y)
+def _make_torch_state_dict(seed=0):
+    """Random torch-format FID-Inception checkpoint, shapes hard-coded."""
+    rng = np.random.default_rng(seed)
+    sd = {}
+    for name, (co, ci, kh, kw) in _conv_shapes().items():
+        fan = ci * kh * kw
+        sd[f"{name}.conv.weight"] = torch.tensor(
+            rng.normal(0, fan ** -0.5, (co, ci, kh, kw)).astype(np.float32))
+        sd[f"{name}.bn.weight"] = torch.tensor(
+            rng.uniform(0.5, 1.5, co).astype(np.float32))
+        sd[f"{name}.bn.bias"] = torch.tensor(
+            rng.normal(0, 0.1, co).astype(np.float32))
+        sd[f"{name}.bn.running_mean"] = torch.tensor(
+            rng.normal(0, 0.1, co).astype(np.float32))
+        sd[f"{name}.bn.running_var"] = torch.tensor(
+            rng.uniform(0.5, 1.5, co).astype(np.float32))
+    return sd
 
 
-def _t_chain(bp, names, x, convs):
-    for name, c in zip(names, convs):
-        x = _t_bc(bp[name], x, (name,) + c)
-    return x
-
-
-def _t_block(bp, kind, spec, x):
-    def run(branch):
-        return _t_chain(bp, _TORCH_NAMES[kind][branch], x, spec[branch])
-
+def _indep_forward(sd, x):
+    """Hand-coded pytorch_fid InceptionV3 dataflow (pool3 features)."""
     F = torch.nn.functional
+
+    def bc(name, x, stride=1, pad=0):
+        y = F.conv2d(x, sd[f"{name}.conv.weight"], None, stride=stride,
+                     padding=pad)
+        y = F.batch_norm(
+            y, sd[f"{name}.bn.running_mean"], sd[f"{name}.bn.running_var"],
+            sd[f"{name}.bn.weight"], sd[f"{name}.bn.bias"],
+            training=False, eps=1e-3)
+        return torch.relu(y)
+
     avg = lambda t: F.avg_pool2d(t, 3, 1, 1, count_include_pad=False)
-    if kind == "A":
-        pool = _t_chain(bp, _TORCH_NAMES[kind]["branch_pool"], avg(x),
-                        spec["branch_pool"])
-        return torch.cat([run("branch1x1"), run("branch5x5"),
-                          run("branch3x3dbl"), pool], 1)
-    if kind == "B":
-        return torch.cat([run("branch3x3"), run("branch3x3dbl"),
-                          F.max_pool2d(x, 3, 2)], 1)
-    if kind == "C":
-        pool = _t_chain(bp, _TORCH_NAMES[kind]["branch_pool"], avg(x),
-                        spec["branch_pool"])
-        return torch.cat([run("branch1x1"), run("branch7x7"),
-                          run("branch7x7dbl"), pool], 1)
-    if kind == "D":
-        return torch.cat([run("branch3x3"), run("branch7x7x3"),
-                          F.max_pool2d(x, 3, 2)], 1)
-    b3 = run("branch3x3")
-    b3 = torch.cat([
-        _t_chain(bp, _TORCH_NAMES[kind]["branch3x3_a"], b3,
-                 spec["branch3x3_a"]),
-        _t_chain(bp, _TORCH_NAMES[kind]["branch3x3_b"], b3,
-                 spec["branch3x3_b"]),
-    ], 1)
-    bd = run("branch3x3dbl")
-    bd = torch.cat([
-        _t_chain(bp, _TORCH_NAMES[kind]["branch3x3dbl_a"], bd,
-                 spec["branch3x3dbl_a"]),
-        _t_chain(bp, _TORCH_NAMES[kind]["branch3x3dbl_b"], bd,
-                 spec["branch3x3dbl_b"]),
-    ], 1)
-    pooled_in = F.max_pool2d(x, 3, 1, 1) if kind == "E2" else avg(x)
-    pool = _t_chain(bp, _TORCH_NAMES[kind]["branch_pool"], pooled_in,
-                    spec["branch_pool"])
-    return torch.cat([run("branch1x1"), b3, bd, pool], 1)
+    x = bc("Conv2d_1a_3x3", x, stride=2)
+    x = bc("Conv2d_2a_3x3", x)
+    x = bc("Conv2d_2b_3x3", x, pad=1)
+    x = F.max_pool2d(x, 3, 2)
+    x = bc("Conv2d_3b_1x1", x)
+    x = bc("Conv2d_4a_3x3", x)
+    x = F.max_pool2d(x, 3, 2)
 
+    def inception_a(pre, x):  # FIDInceptionA
+        b1 = bc(f"{pre}.branch1x1", x)
+        b5 = bc(f"{pre}.branch5x5_2", bc(f"{pre}.branch5x5_1", x), pad=2)
+        bd = bc(f"{pre}.branch3x3dbl_1", x)
+        bd = bc(f"{pre}.branch3x3dbl_2", bd, pad=1)
+        bd = bc(f"{pre}.branch3x3dbl_3", bd, pad=1)
+        bp = bc(f"{pre}.branch_pool", avg(x))
+        return torch.cat([b1, b5, bd, bp], 1)
 
-def _t_forward(params, x):
-    F = torch.nn.functional
-    for i, spec in enumerate(_STEM):
-        x = _t_bc(params[spec[0]], x, spec)
-        if i in (2, 4):
-            x = F.max_pool2d(x, 3, 2)
-    for bname, kind, spec in BLOCKS:
-        x = _t_block(params[bname], kind, spec, x)
+    for pre in ("Mixed_5b", "Mixed_5c", "Mixed_5d"):
+        x = inception_a(pre, x)
+    # InceptionB
+    b3 = bc("Mixed_6a.branch3x3", x, stride=2)
+    bd = bc("Mixed_6a.branch3x3dbl_1", x)
+    bd = bc("Mixed_6a.branch3x3dbl_2", bd, pad=1)
+    bd = bc("Mixed_6a.branch3x3dbl_3", bd, stride=2)
+    x = torch.cat([b3, bd, F.max_pool2d(x, 3, 2)], 1)
+
+    def inception_c(pre, x):  # FIDInceptionC
+        b1 = bc(f"{pre}.branch1x1", x)
+        b7 = bc(f"{pre}.branch7x7_1", x)
+        b7 = bc(f"{pre}.branch7x7_2", b7, pad=(0, 3))
+        b7 = bc(f"{pre}.branch7x7_3", b7, pad=(3, 0))
+        bd = bc(f"{pre}.branch7x7dbl_1", x)
+        bd = bc(f"{pre}.branch7x7dbl_2", bd, pad=(3, 0))
+        bd = bc(f"{pre}.branch7x7dbl_3", bd, pad=(0, 3))
+        bd = bc(f"{pre}.branch7x7dbl_4", bd, pad=(3, 0))
+        bd = bc(f"{pre}.branch7x7dbl_5", bd, pad=(0, 3))
+        bp = bc(f"{pre}.branch_pool", avg(x))
+        return torch.cat([b1, b7, bd, bp], 1)
+
+    for pre in ("Mixed_6b", "Mixed_6c", "Mixed_6d", "Mixed_6e"):
+        x = inception_c(pre, x)
+    # InceptionD
+    b3 = bc("Mixed_7a.branch3x3_2", bc("Mixed_7a.branch3x3_1", x), stride=2)
+    b7 = bc("Mixed_7a.branch7x7x3_1", x)
+    b7 = bc("Mixed_7a.branch7x7x3_2", b7, pad=(0, 3))
+    b7 = bc("Mixed_7a.branch7x7x3_3", b7, pad=(3, 0))
+    b7 = bc("Mixed_7a.branch7x7x3_4", b7, stride=2)
+    x = torch.cat([b3, b7, F.max_pool2d(x, 3, 2)], 1)
+
+    def inception_e(pre, x, pool):  # FIDInceptionE_1 (avg) / E_2 (max)
+        b1 = bc(f"{pre}.branch1x1", x)
+        b3 = bc(f"{pre}.branch3x3_1", x)
+        b3 = torch.cat([bc(f"{pre}.branch3x3_2a", b3, pad=(0, 1)),
+                        bc(f"{pre}.branch3x3_2b", b3, pad=(1, 0))], 1)
+        bd = bc(f"{pre}.branch3x3dbl_2",
+                bc(f"{pre}.branch3x3dbl_1", x), pad=1)
+        bd = torch.cat([bc(f"{pre}.branch3x3dbl_3a", bd, pad=(0, 1)),
+                        bc(f"{pre}.branch3x3dbl_3b", bd, pad=(1, 0))], 1)
+        bp = bc(f"{pre}.branch_pool", pool(x))
+        return torch.cat([b1, b3, bd, bp], 1)
+
+    x = inception_e("Mixed_7b", x, avg)
+    x = inception_e("Mixed_7c", x, lambda t: F.max_pool2d(t, 3, 1, 1))
     return x.mean(dim=(2, 3))
 
 
@@ -106,18 +206,24 @@ def inception_params():
     return init_inception_params(jax.random.PRNGKey(0))
 
 
-def test_inception_matches_torch_rederivation(inception_params):
-    """Pins the JAX op semantics (conv padding, BN eps, excl-avg/max pools,
-    branch concat order) against torch on the full 299^2 graph."""
+def test_inception_matches_independent_torch(inception_params):
+    """End-to-end parity against the hand-coded executor on the full 299^2
+    graph, from a torch-format state dict: catches both op-semantics bugs
+    (conv padding, BN eps, excl-avg/max pools, concat order) and
+    transcription errors in eval/inception.py's declarative spec itself."""
+    del inception_params  # independent path: params come from the state dict
+    sd = _make_torch_state_dict(seed=0)
+    params = load_inception_torch(
+        {k: v.numpy() for k, v in sd.items()})
     rng = np.random.default_rng(0)
     img = rng.uniform(0, 1, (1, 299, 299, 3)).astype(np.float32)
     ours = np.asarray(
-        inception_pool3_features(inception_params, jnp.asarray(img),
+        inception_pool3_features(params, jnp.asarray(img),
                                  resize_input=False)
     )
     with torch.no_grad():
-        ref = _t_forward(inception_params,
-                         torch.tensor(np.transpose(img, (0, 3, 1, 2))))
+        ref = _indep_forward(sd, torch.tensor(np.transpose(img,
+                                                           (0, 3, 1, 2))))
     assert ours.shape == (1, 2048)
     np.testing.assert_allclose(ours, ref.numpy(), rtol=5e-2, atol=5e-4)
 
