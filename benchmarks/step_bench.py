@@ -68,6 +68,10 @@ def main():
                     help="time only the render (first) step and exit")
     ap.add_argument("--render_iters", type=int, default=1,
                     help="timed render-step iterations (A/B averaging)")
+    ap.add_argument("--dense_refs", action="store_true",
+                    help="eager per-CFG-copy reference buffers (the "
+                    "pre-CompactRefTokens layout) instead of the shipped "
+                    "compact form")
     ap.add_argument("--cached_only", action="store_true",
                     help="time only the cached step (synthetic caches; "
                     "skips the render-step compile for fast A/B experiments)")
@@ -111,12 +115,25 @@ def main():
     meta = attn_block_meta(cfg)
     rng = np.random.default_rng(0)
     refs = {}
+    from custom_diffusion360_tpu.models.nerf import CompactRefTokens
+
     for _, _, attn_id, d in iter_pose_blocks(cfg):
         ds, ch, _ = meta[attn_id]
         hw = (latent // ds) ** 2
-        refs.setdefault(attn_id, {})[d] = jnp.asarray(
-            rng.normal(size=(2 * b, n_ref, hw, ch)).astype(np.float32) * 0.05
-        )
+        if getattr(args, "dense_refs", False):
+            # the pre-CompactRefTokens layout: eager per-CFG-copy buffers
+            refs.setdefault(attn_id, {})[d] = jnp.asarray(
+                rng.normal(size=(2 * b, n_ref, hw, ch)).astype(np.float32)
+                * 0.05
+            )
+        else:
+            # the shipped engine.build_ref_features(compact=True) form
+            buf = rng.normal(size=(n_ref + 1, hw, ch)).astype(np.float32)
+            refs.setdefault(attn_id, {})[d] = CompactRefTokens(
+                jnp.asarray(buf[-1] * 0.05),
+                jnp.asarray(buf[:-1] * 0.05),
+                b, 2,
+            )
 
     def make_cams(n, seed):
         r = np.random.default_rng(seed)

@@ -195,20 +195,36 @@ class Engine:
 
     # -- inference -----------------------------------------------------------
 
-    def build_ref_features(self, references, choices, batch_size, num_copies):
-        """Assemble per-block (copies*B, n, hw, C) reference-token tensors
-        from delta-checkpoint buffers, replicating the reference CFG layouts
+    def build_ref_features(
+        self, references, choices, batch_size, num_copies, compact=True
+    ):
+        """Assemble per-block reference-token structures from delta-
+        checkpoint buffers, replicating the reference CFG layouts
         (sample.py:86-97): last buffer row is the zero-image/uncond feature.
 
         references: {attn_id: {d: (Nref+1, hw, C)}}; choices: (n,) int array.
         num_copies: 2 -> [zero | chosen]; 3 -> [zero | chosen | chosen].
+
+        compact (default): each entry is a CompactRefTokens whose
+        (copies*B, n, hw, C) expansion is deferred into the per-block map
+        projection — the eager dense buffers kept ~2.5 GB/batch of f32 live
+        across the whole render step and OOMed the b=4 1024^2 render
+        (NOTES.md). Dense mode (compact=False) materializes the expanded
+        tensors; required when per-row ``mask_ref`` masking applies.
         """
+        from .models.nerf import CompactRefTokens
+
         out = {}
         b = batch_size
         for attn_id, per_d in references.items():
             out[attn_id] = {}
             for d, buf in per_d.items():
                 chosen = jnp.take(buf[:-1], jnp.asarray(choices), axis=0)  # (n,hw,C)
+                if compact:
+                    out[attn_id][d] = CompactRefTokens(
+                        buf[-1], chosen, b, num_copies
+                    )
+                    continue
                 n = chosen.shape[0]
                 zero = jnp.broadcast_to(buf[-1:][None], (b, n) + buf.shape[1:])
                 sel = jnp.broadcast_to(chosen[None], (b,) + chosen.shape)
@@ -284,8 +300,11 @@ class Engine:
 
         ref_features = None
         if references is not None:
+            # per-row masks require the dense per-row expansion; the usual
+            # delta-buffer path (mask_ref=None) streams compact tokens
             ref_features = self.build_ref_features(
-                references, choices, b, guider.num_copies
+                references, choices, b, guider.num_copies,
+                compact=mask_ref is None,
             )
 
         def make_denoise(nerf_caches, collect_rendered):

@@ -59,6 +59,13 @@ class NerfConfig:
     # 1024^2 workload that is ~19 GB unchunked, beyond a v5e chip's HBM.
     # 0 disables chunking. Each chunk is rematerialized on backward.
     chunk_size: int = 512
+    # chunk_size is tuned for this many batch rows (CFG copies x images);
+    # when the incoming batch carries more rows, the effective chunk is
+    # scaled down proportionally (floor 128) so the per-chunk working set —
+    # (rows, N, chunk, S, C) activations in the 1280-dim pose blocks, the
+    # b=4 1024^2 OOM (27.9 G vs 15.75 G HBM) — stays at the tuned level
+    # regardless of batch. 0 disables the scaling.
+    chunk_rows_ref: int = 2
     # dtype for the encoding's big matmuls (map projection, sampling, MLPs).
     # float32 reproduces the reference's forced-fp32 NeRF islands
     # (attention.py:626); bfloat16 is the TPU inference choice — softmax,
@@ -254,6 +261,63 @@ def raymarch(
 # ---------------------------------------------------------------------------
 
 
+@jax.tree_util.register_pytree_node_class
+class CompactRefTokens:
+    """Delta-checkpoint reference tokens held in COMPACT form: one
+    zero-image/uncond plane + the chosen reference views, with the
+    (batch x CFG-copies) expansion deferred into ``project_ref_maps``.
+
+    The eager expansion (engine.build_ref_features dense mode,
+    reference sample.py:86-97 layout) materializes
+    (copies*B, N, hw, C) float32 buffers for EVERY pose block that stay
+    live across the whole render step — ~2.5 GB at batch 1 / 1024^2 /
+    8 views, which is what OOMed the b=4 render (NOTES.md). Keeping the
+    compact planes as the jit inputs and expanding only the *projected*
+    maps (C+1 channels, compute dtype) inside each block makes the
+    expansion a per-block transient the scheduler can free.
+
+    zero: (hw, C) — the zero-image row (buffer row -1, main.py:611-625).
+    chosen: (n, hw, C) — the selected reference views.
+    batch/copies: static ints; expanded row layout is
+    [zero-rows x batch | chosen-rows x batch x (copies-1)].
+    """
+
+    def __init__(self, zero, chosen, batch: int, copies: int):
+        self.zero = zero
+        self.chosen = chosen
+        self.batch = int(batch)
+        self.copies = int(copies)
+
+    def tree_flatten(self):
+        return (self.zero, self.chosen), (self.batch, self.copies)
+
+    @classmethod
+    def tree_unflatten(cls, aux, leaves):
+        return cls(leaves[0], leaves[1], aux[0], aux[1])
+
+    @property
+    def shape(self):
+        """The dense (B_expanded, N, hw, C) shape this stands in for."""
+        return (
+            self.batch * self.copies,
+            self.chosen.shape[0],
+        ) + self.chosen.shape[1:]
+
+    def expand_rows(self, zero_rows, chosen_rows):
+        """[zero_rows x batch | chosen_rows x batch x (copies-1)] along a
+        new leading batch axis. zero_rows: (N, hw, ...) built from the zero
+        plane; chosen_rows: (N, hw, ...)."""
+        b, k = self.batch, self.copies
+        z = jnp.broadcast_to(zero_rows[None], (b,) + zero_rows.shape)
+        if k == 1:
+            return jnp.broadcast_to(chosen_rows[None],
+                                    (b,) + chosen_rows.shape)
+        s = jnp.broadcast_to(
+            chosen_rows[None], ((k - 1) * b,) + chosen_rows.shape
+        )
+        return jnp.concatenate([z, s], axis=0)
+
+
 def apply_ref_mask(xref, mask_ref):
     """Zero padded regions of the reference feature maps
     (nerfsd_pytorch3d.py:66-77). xref: (B, N, hw, C); mask_ref: (B, N, Hm, Wm)."""
@@ -397,18 +461,33 @@ def project_ref_maps(params, xref, mask_ref, cfg: NerfConfig):
     """One-time per-block projection of the reference feature maps by the
     plane-feature rows of l1 and nviews (trick 1 above).
 
-    xref: (B, N, HW, C). Returns (B, N, HW, C+1) = [l1-projected | nviews-
-    projected] (or (B, N, HW, C) when cfg.average — no nviews head).
+    xref: (B, N, HW, C) dense, or CompactRefTokens (delta-buffer inference
+    path) — projected compact then batch/CFG-expanded, so the big per-row
+    buffers never exist un-projected (see CompactRefTokens).
+    Returns (B, N, HW, C+1) = [l1-projected | nviews-projected] (or
+    (B, N, HW, C) when cfg.average — no nviews head).
     """
-    xref = apply_ref_mask(xref.astype(jnp.float32), mask_ref)
     cdt = cfg.cdtype
     c = cfg.dim
-    x = xref.astype(cdt)
-    g1 = x @ params["plane_coefs"]["l1"]["w"][:c].astype(cdt)
-    if cfg.average:
-        return g1
-    gv = x @ params["nviews"]["w"][:c].astype(cdt)
-    return jnp.concatenate([g1, gv], axis=-1)
+
+    def proj(x):
+        g1 = x @ params["plane_coefs"]["l1"]["w"][:c].astype(cdt)
+        if cfg.average:
+            return g1
+        gv = x @ params["nviews"]["w"][:c].astype(cdt)
+        return jnp.concatenate([g1, gv], axis=-1)
+
+    if isinstance(xref, CompactRefTokens):
+        # captured buffers are stored post-mask; per-row masks don't apply
+        assert mask_ref is None, "mask_ref requires dense reference tokens"
+        n = xref.chosen.shape[0]
+        g_chosen = proj(xref.chosen.astype(jnp.float32).astype(cdt))
+        g_zero = proj(xref.zero.astype(jnp.float32).astype(cdt))
+        zero_rows = jnp.broadcast_to(g_zero[None], (n,) + g_zero.shape)
+        return xref.expand_rows(zero_rows, g_chosen)
+
+    xref = apply_ref_mask(xref.astype(jnp.float32), mask_ref)
+    return proj(xref.astype(cdt))
 
 
 def ray_shared_terms(params, cams: Cameras, rays, cfg: NerfConfig):
@@ -649,6 +728,10 @@ def nerfsd_apply(
     def encode(points, sigma_only=False):
         hw = points.shape[1]
         chunk = cfg.chunk_size
+        rows = points.shape[0]
+        if chunk and cfg.chunk_rows_ref and rows > cfg.chunk_rows_ref:
+            # keep rows*chunk (the working-set driver) at the tuned level
+            chunk = max(128, chunk * cfg.chunk_rows_ref // rows)
         if not chunk or hw <= chunk:
             return nerf_encoding_split(
                 params, cams, proj, geo_ray, logit_ray, points, cfg,

@@ -191,6 +191,45 @@ class TestSampling:
             np.asarray(out1), np.asarray(out2), atol=1e-4
         )
 
+    def test_compact_refs_match_dense(self, engine_and_params):
+        """CompactRefTokens (deferred per-block expansion — the default
+        delta-buffer inference path and the b=4 render OOM fix) must be
+        numerically identical to the eager dense (copies*B, n, hw, C)
+        buffers it replaces, for both CFG layouts (2 and 3 copies)."""
+        eng, params = engine_and_params
+        refs = self._references()
+
+        def run(guider, copies, seed):
+            cams = random_cameras((1 + N) * B * copies, seed=4).reshape(
+                copies * B, 1 + N
+            )
+            return lambda: eng.sample(
+                params, self._cond(copies), self._cond(copies), guider,
+                jax.random.PRNGKey(seed),
+                shape=(B, 8, 8, 4), cams=cams, references=refs,
+                choices=np.arange(N), num_steps=3,
+            )
+
+        for guider, copies in [
+            (vanilla_cfg_img_ref(scale=5.0), 2),
+            (scheduled_cfg_img_text_ref(scale=5.0, scale_im=2.0), 3),
+        ]:
+            f = run(guider, copies, seed=5)
+            out_compact = f()
+            orig = eng.build_ref_features
+            eng.build_ref_features = (
+                lambda r, ch, b, k, compact=True: orig(
+                    r, ch, b, k, compact=False
+                )
+            )
+            try:
+                out_dense = f()
+            finally:
+                eng.build_ref_features = orig
+            np.testing.assert_allclose(
+                np.asarray(out_compact), np.asarray(out_dense), atol=1e-5
+            )
+
     def test_ip2p_guider_path(self, engine_and_params):
         eng, params = engine_and_params
         guider = scheduled_cfg_img_text_ref(scale=5.0, scale_im=2.0)

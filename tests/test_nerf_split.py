@@ -94,6 +94,27 @@ def test_chunked_matches_unchunked():
         )
 
 
+def test_chunk_rows_scaling_matches():
+    """chunk_rows_ref scales the effective ray chunk down when the batch
+    carries more rows than the tuned reference (the b=4 1024^2 OOM guard);
+    numerics must be invariant to the scaling."""
+    b = 4  # > chunk_rows_ref=2 -> effective chunk 32 -> 16
+    cfg_ref = NerfConfig(dim=C, num_samples=S, chunk_size=32,
+                         chunk_rows_ref=0)
+    cfg_scaled = NerfConfig(dim=C, num_samples=S, chunk_size=32,
+                            chunk_rows_ref=2)
+    params = init_nerf_params(jax.random.PRNGKey(0), cfg_ref)
+    cams = make_cams(b * (1 + N)).reshape(b, 1 + N)
+    xref = jax.random.normal(jax.random.PRNGKey(1), (b, N, RES * RES, C)) * 0.3
+    out_ref = nerfsd_apply(params, cams, xref, None, cfg_ref, None, False)
+    out_scaled = nerfsd_apply(params, cams, xref, None, cfg_scaled, None,
+                              False)
+    for k in ("features", "sigma", "rgb"):
+        np.testing.assert_allclose(
+            out_ref[k], out_scaled[k], rtol=2e-4, atol=2e-5, err_msg=k
+        )
+
+
 def test_chunked_layout_matches_assembled():
     """chunked=True returns the scan-native (nc, B, chunk, S, *) layout;
     reassembling with from_chunked must reproduce the default layout."""
