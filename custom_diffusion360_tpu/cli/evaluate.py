@@ -103,6 +103,10 @@ def compute_fid(inception_params, gen, real, batch=8):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+
+    from ..utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from ..eval.clip_score import (

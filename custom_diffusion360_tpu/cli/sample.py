@@ -98,6 +98,10 @@ def make_tokenizers(vocab_dir, context_length: int = 77):
 def main(argv=None):
     args = build_parser().parse_args(argv)
     import jax
+
+    from ..utils.cache import setup_compile_cache
+
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from ..diffusion import scheduled_cfg_img_text_ref, vanilla_cfg_img_ref

@@ -92,6 +92,11 @@ def main(argv=None):
         from ..parallel import init_distributed
 
         init_distributed(args.coordinator, args.num_processes, args.process_id)
+    from ..utils.cache import setup_compile_cache
+
+    # AFTER distributed init: setup touches jax.default_backend(), which
+    # initializes the backend and would freeze a 1-process world
+    setup_compile_cache()
     import jax.numpy as jnp
 
     from ..engine import Engine, EngineConfig
