@@ -169,6 +169,7 @@ class Co3dDataset:
                 T=np.stack([a["T"] for a in annos]),
                 focal_length=np.stack([a["focal_length"] for a in annos]),
                 principal_point=np.stack([a["principal_point"] for a in annos]),
+                xp=np,
             )
             try:
                 norm, _, scale = normalize_cameras(cams)
@@ -291,18 +292,19 @@ class Co3dDataset:
         crops = np.stack([f[3] for f in frames])
         orig_sizes = np.stack([f[4] for f in frames])
 
-        # cameras: crop + rescale intrinsics (data_co3d.py:458-467)
-        cams = []
-        for i, a in enumerate(annos):
-            cam = Cameras.create(
-                R=a["R"], T=a["T"],
-                focal_length=a["focal_length"],
-                principal_point=a["principal_point"],
-                image_size=np.array([orig_sizes[i][1], orig_sizes[i][0]]),
-            )
-            cam = adjust_camera_to_bbox_crop(cam, crops[i])
-            cam = adjust_camera_to_image_scale(cam, (cfg.img_size, cfg.img_size))
-            cams.append(cam)
+        # cameras: crop + rescale intrinsics (data_co3d.py:458-467).
+        # One batched numpy pass over all views: per-view eager-jnp adjusts
+        # cost ~300 ms/item in dispatch alone (profiled; see cameras._xp)
+        cams = Cameras.create(
+            R=np.stack([a["R"] for a in annos]),
+            T=np.stack([a["T"] for a in annos]),
+            focal_length=np.stack([a["focal_length"] for a in annos]),
+            principal_point=np.stack([a["principal_point"] for a in annos]),
+            image_size=orig_sizes[:, [1, 0]],  # (H, W) per view
+            xp=np,
+        )
+        cams = adjust_camera_to_bbox_crop(cams, crops)
+        cams = adjust_camera_to_image_scale(cams, (cfg.img_size, cfg.img_size))
 
         txt = annos[0]["txt"]
         if cfg.modifier_token is not None:
@@ -338,7 +340,7 @@ class Co3dDataset:
             "txt": "" if drop_txt else txt,
             "image_ref": image_ref,
             "txt_ref": txts_ref,
-            "cams": stack_cameras(cams),
+            "cams": cams,
             "mask": mask_dil,
             "mask_ref": maskpads[1:],
             "opacity": depth,
@@ -355,6 +357,7 @@ class Co3dDataset:
 def collate(items: Sequence[dict], tokenizer_clip=None, tokenizer_open=None):
     """Stack items into the Engine batch contract. Reference fields are
     concatenated sample-major ((b n) layout, data_co3d.py:591-633)."""
+    import jax
     import jax.numpy as jnp
 
     def stack(key):
@@ -370,7 +373,11 @@ def collate(items: Sequence[dict], tokenizer_clip=None, tokenizer_open=None):
         "mask_ref": stack("mask_ref"),
         "opacity": stack("opacity"),
         "drop_im": stack("drop_im"),
-        "cams": stack_cameras([it["cams"] for it in items]),
+        # items carry host (numpy) cameras; ship the stacked batch to device
+        # with the rest of the collated arrays
+        "cams": jax.tree.map(
+            jnp.asarray, stack_cameras([it["cams"] for it in items])
+        ),
         "original_size": stack("original_size"),
         "target_size": stack("target_size"),
         "crop_coords": stack("crop_coords"),
@@ -494,6 +501,17 @@ class DataLoader:
                 yield batch
         finally:
             stop.set()
+            # A consumer that stops early leaves the producer parked on
+            # q.put (or mid device-transfer in collate); drain so it can
+            # observe `stop`, and join so interpreter teardown never kills
+            # a thread inside the JAX runtime (seen as "terminate called"
+            # aborts at process exit).
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            t.join(timeout=10.0)
 
     def __len__(self):
         n = len(self.dataset) // self.batch_size
