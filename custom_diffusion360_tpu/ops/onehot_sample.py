@@ -19,9 +19,22 @@ with align_corners=True, padding_mode="zeros").
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
+
+# In-graph A/B knobs for the production einsum (see bilinear_sample_matmul):
+#   CD360_ONEHOT_LAYOUT=hp   build the one-hot transposed (m, h*w, p) and
+#                            contract "mhp,mhc->mpc" — probes whether the
+#                            emitter then produces c-minor output without the
+#                            38 ms/render relayout copy the trace shows after
+#                            the default "mph" form (NOTES.md round 3).
+#   CD360_ONEHOT_ACC=bf16    accumulate in the feature dtype (only 4 nonzero
+#                            terms per row, so bf16 accumulation is safe);
+#                            skips the f32->bf16 output convert entirely.
+_ONEHOT_LAYOUT = os.environ.get("CD360_ONEHOT_LAYOUT", "ph")
+_ONEHOT_ACC = os.environ.get("CD360_ONEHOT_ACC", "f32")
 
 
 def bilinear_sample_matmul(
@@ -58,7 +71,13 @@ def bilinear_sample_matmul(
     # 113 ms). XLA fuses this whole 4-corner chain into a single full-size
     # loop already; the factored form's broadcast reads beat it on paper but
     # not on the VPU. Keep the direct form.
-    iota = jax.lax.broadcasted_iota(jnp.int32, (m, p, h * w), 2)
+    hp = _ONEHOT_LAYOUT == "hp"
+    if hp:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (m, h * w, p), 1)
+        expand = lambda t: t[:, None, :]  # noqa: E731 — (m,p)->(m,1,p)
+    else:
+        iota = jax.lax.broadcasted_iota(jnp.int32, (m, p, h * w), 2)
+        expand = lambda t: t[..., None]  # noqa: E731 — (m,p)->(m,p,1)
 
     def corner_onehot(xi, yi, wgt):
         valid = (xi >= 0) & (xi <= w - 1) & (yi >= 0) & (yi <= h - 1)
@@ -66,7 +85,7 @@ def bilinear_sample_matmul(
             jnp.clip(yi, 0, h - 1) * w + jnp.clip(xi, 0, w - 1)
         ).astype(jnp.int32)
         wgt = jnp.where(valid, wgt, 0.0).astype(feats.dtype)
-        return jnp.where(iota == idx[..., None], wgt[..., None], 0)
+        return jnp.where(iota == expand(idx), expand(wgt), 0)
 
     onehot = (
         corner_onehot(x0, y0, (1 - tx) * (1 - ty))
@@ -74,8 +93,10 @@ def bilinear_sample_matmul(
         + corner_onehot(x0, y0 + 1, (1 - tx) * ty)
         + corner_onehot(x0 + 1, y0 + 1, tx * ty)
     )
+    acc = feats.dtype if _ONEHOT_ACC == "bf16" else jnp.float32
     out = jnp.einsum(
-        "mph,mhc->mpc", onehot, fm, preferred_element_type=jnp.float32
+        "mhp,mhc->mpc" if hp else "mph,mhc->mpc", onehot, fm,
+        preferred_element_type=acc,
     )
     return out.astype(feats.dtype)
 

@@ -158,6 +158,43 @@ class TestAttention:
         np.testing.assert_allclose(np.asarray(out_pad), np.asarray(out), atol=1e-5)
 
 
+class TestOnehotLayoutVariants:
+    """The env-gated in-graph A/B forms of the one-hot sampling einsum
+    (CD360_ONEHOT_LAYOUT=hp transposed build, CD360_ONEHOT_ACC=bf16) must
+    match the shipped ph/f32 form and the gather reference."""
+
+    def test_hp_layout_matches(self, monkeypatch):
+        import custom_diffusion360_tpu.ops.onehot_sample as ohs
+        from custom_diffusion360_tpu.ops.grid_sample import grid_sample_2d
+
+        key = jax.random.PRNGKey(3)
+        fm = jax.random.normal(key, (3, 8, 8, 16))
+        grid = jax.random.uniform(
+            jax.random.fold_in(key, 1), (3, 20, 2), minval=-1.2, maxval=1.2
+        )
+        want = ohs.bilinear_sample_matmul(fm, grid)
+        monkeypatch.setattr(ohs, "_ONEHOT_LAYOUT", "hp")
+        got = ohs.bilinear_sample_matmul(fm, grid)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(want), np.asarray(grid_sample_2d(fm, grid)), atol=1e-5
+        )
+
+    def test_bf16_accumulate_close(self, monkeypatch):
+        import custom_diffusion360_tpu.ops.onehot_sample as ohs
+
+        key = jax.random.PRNGKey(4)
+        fm = jax.random.normal(key, (2, 8, 8, 8)).astype(jnp.bfloat16)
+        grid = jax.random.uniform(
+            jax.random.fold_in(key, 1), (2, 16, 2), minval=-1.0, maxval=1.0
+        )
+        want = ohs.bilinear_sample_matmul(fm, grid).astype(jnp.float32)
+        monkeypatch.setattr(ohs, "_ONEHOT_ACC", "bf16")
+        got = ohs.bilinear_sample_matmul(fm, grid).astype(jnp.float32)
+        # 4 nonzero terms per row: bf16 accumulation differs only by rounding
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=3e-2)
+
+
 class TestBilinearSamplePallas:
     """Fused one-hot Pallas sampler (interpret mode on CPU)."""
 
