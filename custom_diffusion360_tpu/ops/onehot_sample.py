@@ -25,15 +25,18 @@ import jax
 import jax.numpy as jnp
 
 # In-graph A/B knobs for the production einsum (see bilinear_sample_matmul):
-#   CD360_ONEHOT_LAYOUT=hp   build the one-hot transposed (m, h*w, p) and
-#                            contract "mhp,mhc->mpc" — probes whether the
-#                            emitter then produces c-minor output without the
-#                            38 ms/render relayout copy the trace shows after
-#                            the default "mph" form (NOTES.md round 3).
+#   CD360_ONEHOT_LAYOUT      "hp" (default, measured): build the one-hot
+#                            transposed (m, h*w, p) and contract
+#                            "mhp,mhc->mpc" — the emitter then produces
+#                            c-minor output directly, killing the
+#                            ~31 ms/render relayout copy the round-3 trace
+#                            showed after the "ph" form (t_first 822 -> 791
+#                            ms, same-session A/B). "ph" keeps the old form.
 #   CD360_ONEHOT_ACC=bf16    accumulate in the feature dtype (only 4 nonzero
 #                            terms per row, so bf16 accumulation is safe);
-#                            skips the f32->bf16 output convert entirely.
-_ONEHOT_LAYOUT = os.environ.get("CD360_ONEHOT_LAYOUT", "ph")
+#                            measured noise-level (818 vs 822 ms — the output
+#                            convert was already fused), kept for A/B only.
+_ONEHOT_LAYOUT = os.environ.get("CD360_ONEHOT_LAYOUT", "hp")
 _ONEHOT_ACC = os.environ.get("CD360_ONEHOT_ACC", "f32")
 
 
