@@ -39,6 +39,11 @@ def build_parser():
                    help="sampler (reference: config-selectable sampler "
                    "classes; sample.py uses EulerEDM)")
     p.add_argument("--num_ref", type=int, default=8)
+    p.add_argument("--batch", type=int, default=1,
+                   help="target poses sampled per step (throughput mode; "
+                   "reference features are shared across the batch — "
+                   "compact tokens + batch-scaled ray chunks keep b=4 at "
+                   "1024^2 inside one v5e's HBM)")
     p.add_argument("--num_images", type=int, default=4, help="target poses to sample")
     p.add_argument("--resolution", type=int, default=512)
     p.add_argument("--seed", type=int, default=42)
@@ -187,12 +192,12 @@ def main(argv=None):
     tok_clip, tok_open = make_tokenizers(
         args.vocab_dir, context_length=cfg.conditioner.clip_l.context_length
     )
-    b = 1
+    b = max(1, args.batch)
 
     def cond_batch(prompt):
         return {
-            "tokens_clip": jnp.asarray(tok_clip([prompt])),
-            "tokens_open": jnp.asarray(tok_open([prompt])),
+            "tokens_clip": jnp.asarray(tok_clip([prompt] * b)),
+            "tokens_open": jnp.asarray(tok_open([prompt] * b)),
             "original_size": jnp.full((b, 2), float(args.resolution)),
             "crop_coords": jnp.zeros((b, 2)),
             "target_size": jnp.full((b, 2), float(args.resolution)),
@@ -250,6 +255,10 @@ def main(argv=None):
         )
         return eng.decode_first_stage(params, z.astype(dtype))
 
+    # flatten (pose, sweep-step) jobs, then run them --batch per step: each
+    # row carries its own target camera, the reference cameras/features are
+    # shared (compact tokens + batch-scaled ray chunks keep b>1 in HBM)
+    jobs = []
     for count, pid in enumerate(pose_ids):
         target = cams_val[int(pid) : int(pid) + 1]
         targets = [target]
@@ -266,25 +275,39 @@ def main(argv=None):
                     for s in steps
                 ]
         for j, tgt in enumerate(targets):
-            # cams: [target | refs], replicated per CFG copy (sample.py:166-177)
-            cams_one = stack_cameras([tgt[0]] + [ref_cams[i] for i in range(num_ref)])
-            cams = jax.tree.map(
-                lambda x: jnp.broadcast_to(
-                    x[None], (guider.num_copies * b,) + x.shape
-                ),
-                cams_one,
+            jobs.append((count, j, tgt[0]))
+
+    for start in range(0, len(jobs), b):
+        chunk = jobs[start : start + b]
+        real = len(chunk)
+        while len(chunk) < b:  # pad the ragged tail; extras aren't saved
+            chunk.append(chunk[-1])
+        # cams rows: [target_i | refs] per image, the b-row block repeated
+        # per CFG copy (the guider batches copies block-major, sample.py:166-177)
+        rows = stack_cameras(
+            [
+                stack_cameras([tgt] + [ref_cams[i] for i in range(num_ref)])
+                for _, _, tgt in chunk
+            ]
+        )
+        cams = jax.tree.map(
+            lambda x: jnp.concatenate([x] * guider.num_copies, axis=0), rows
+        )
+        t0 = time.time()
+        img = sample_jit(
+            params, references, cams, c, uc, jax.random.fold_in(key, start)
+        )
+        img = np.asarray(
+            jnp.clip((img.astype(jnp.float32) + 1) * 127.5, 0, 255)
+        ).astype(np.uint8)
+        dt = time.time() - t0
+        for r in range(real):
+            count, j, _ = chunk[r]
+            out_path = os.path.join(
+                args.output_dir, f"sample_{count:02d}_{j:02d}.png"
             )
-            t0 = time.time()
-            img = sample_jit(
-                params, references, cams, c, uc,
-                jax.random.fold_in(key, count * 100 + j),
-            )
-            img = np.asarray(
-                jnp.clip((img.astype(jnp.float32) + 1) * 127.5, 0, 255)
-            ).astype(np.uint8)[0]
-            out_path = os.path.join(args.output_dir, f"sample_{count:02d}_{j:02d}.png")
-            Image.fromarray(img).save(out_path)
-            print(f"saved {out_path} ({time.time()-t0:.1f}s)")
+            Image.fromarray(img[r]).save(out_path)
+            print(f"saved {out_path} ({dt/real:.1f}s/img)")
 
 
 if __name__ == "__main__":

@@ -32,3 +32,14 @@ def test_train_then_sample_smoke(tmp_path):
     ])
     pngs = [f for f in os.listdir(samples) if f.endswith(".png")]
     assert pngs, "sample CLI wrote no images"
+
+    # batched serving: 3 poses in chunks of 2 (ragged tail padded, not saved)
+    batched = tmp_path / "samples_b2"
+    sample_main([
+        "--smoke", "--num_steps", "2", "--num_images", "3", "--batch", "2",
+        "--resolution", "64", "--scale_im", "0",
+        "--delta_ckpt", str(out / "delta_last.npz"),
+        "--output_dir", str(batched),
+    ])
+    pngs = sorted(f for f in os.listdir(batched) if f.endswith(".png"))
+    assert len(pngs) == 3, pngs
