@@ -92,11 +92,18 @@ def main(argv=None):
         from ..parallel import init_distributed
 
         init_distributed(args.coordinator, args.num_processes, args.process_id)
-    from ..utils.cache import setup_compile_cache
+    if not args.multihost:
+        # Persistent compile cache, single-process only. Two reasons it is
+        # gated: (a) setup touches jax.default_backend(), which initializes
+        # the backend and would freeze a 1-process world if it ran before
+        # init_distributed; (b) in a multi-process world asymmetric cache
+        # hit/miss across ranks (plus cpu_aot_loader feature-check stalls)
+        # skews ranks past Gloo's 30 s rendezvous — observed as
+        # "Gloo context initialization failed: DEADLINE_EXCEEDED" in
+        # tests/test_multihost.py.
+        from ..utils.cache import setup_compile_cache
 
-    # AFTER distributed init: setup touches jax.default_backend(), which
-    # initializes the backend and would freeze a 1-process world
-    setup_compile_cache()
+        setup_compile_cache()
     import jax.numpy as jnp
 
     from ..engine import Engine, EngineConfig

@@ -33,6 +33,16 @@ main([
 """
 
 
+def _free_port() -> int:
+    """OS-assigned ephemeral port — a fixed port flakes when a previous
+    run's coordinator socket lingers in TIME_WAIT."""
+    import socket
+
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
 @pytest.mark.slow
 def test_two_process_train_smoke(tmp_path):
     out = tmp_path / "mh_run"
@@ -41,9 +51,10 @@ def test_two_process_train_smoke(tmp_path):
         env.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=4"
     ).strip()
     env.pop("JAX_PLATFORMS", None)
+    port = str(_free_port())
     procs = [
         subprocess.Popen(
-            [sys.executable, "-c", _WRAPPER, str(pid), str(out), "29641"],
+            [sys.executable, "-c", _WRAPPER, str(pid), str(out), port],
             cwd=REPO,
             env=env,
             stdout=subprocess.PIPE,
