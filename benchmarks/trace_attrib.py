@@ -59,16 +59,15 @@ def bucket(name: str) -> str:
     return "other"
 
 
-def main():
-    ap = argparse.ArgumentParser()
-    ap.add_argument("trace_dir")
-    ap.add_argument("--top", type=int, default=25)
-    ap.add_argument("--steps", type=int, default=0,
-                    help="divide sums by this step count (0 = report raw)")
-    args = ap.parse_args()
-
-    path = find_trace(args.trace_dir)
-    print(f"# {path}", file=sys.stderr)
+def attribute(trace_dir: str):
+    """Parse the newest trace under ``trace_dir`` and return
+    (by_bucket_ms, by_name_ms, by_source_ms, by_pair_ms, total_ms) — the
+    same attribution main() prints, as dicts in milliseconds. NOTE: XLA
+    control-flow ops ("while") are counted once as their own lane event AND
+    once per body op, so scan-heavy traces double-count the scan total;
+    subtract the "while" entry from by_name for wall-consistent sums.
+    """
+    path = find_trace(trace_dir)
     with gzip.open(path, "rt") as f:
         data = json.load(f)
     events = data.get("traceEvents", [])
@@ -120,23 +119,43 @@ def main():
             by_source[src] += dur
             by_pair[(re.sub(r"\.\d+", "", name), src)] += dur
 
+    to_ms = lambda c: {k: v / 1e3 for k, v in c.items()}  # noqa: E731
+    return (to_ms(by_bucket), to_ms(by_name), to_ms(by_source),
+            {k: v / 1e3 for k, v in by_pair.items()}, total / 1e3)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("trace_dir")
+    ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--steps", type=int, default=0,
+                    help="divide sums by this step count (0 = report raw)")
+    args = ap.parse_args()
+
+    print(f"# {find_trace(args.trace_dir)}", file=sys.stderr)
+    by_bucket, by_name, by_source, by_pair, total = attribute(args.trace_dir)
+    by_bucket = collections.Counter(by_bucket)
+    by_name = collections.Counter(by_name)
+    by_source = collections.Counter(by_source)
+    by_pair = collections.Counter(by_pair)
+
     div = args.steps if args.steps else 1
     unit = "ms/step" if args.steps else "ms total"
-    print(f"device op time: {total/1e3/div:.2f} {unit}")
+    print(f"device op time: {total/div:.2f} {unit}")
     print("\n== by bucket ==")
     for k, v in by_bucket.most_common():
-        print(f"{v/1e3/div:9.2f}  {100*v/total:5.1f}%  {k}")
+        print(f"{v/div:9.2f}  {100*v/total:5.1f}%  {k}")
     print(f"\n== top {args.top} op names ==")
     for k, v in by_name.most_common(args.top):
-        print(f"{v/1e3/div:9.2f}  {100*v/total:5.1f}%  {k[:100]}")
+        print(f"{v/div:9.2f}  {100*v/total:5.1f}%  {k[:100]}")
     if by_source:
         print(f"\n== top {args.top} sources ==")
         for k, v in by_source.most_common(args.top):
-            print(f"{v/1e3/div:9.2f}  {100*v/total:5.1f}%  {k[:120]}")
+            print(f"{v/div:9.2f}  {100*v/total:5.1f}%  {k[:120]}")
     if by_pair:
         print(f"\n== top {args.top} (op, source) pairs ==")
         for (nm, src), v in by_pair.most_common(args.top):
-            print(f"{v/1e3/div:9.2f}  {100*v/total:5.1f}%  {nm[:40]:40s}  {src[-60:]}")
+            print(f"{v/div:9.2f}  {100*v/total:5.1f}%  {nm[:40]:40s}  {src[-60:]}")
 
 
 if __name__ == "__main__":
