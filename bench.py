@@ -11,7 +11,10 @@ Workload = the reference's sample.py headline path (BASELINE.md): 50-step
 Euler-EDM, CFG x2 (VanillaCFGImgRef), 8 reference views from precomputed
 FeatureNeRF delta buffers, NeRF rendered at step 1 then cached. Default
 1024^2 output (128^2 latent; the reference samples at 512^2 — the
-north-star workload is 1024^2).
+north-star workload is 1024^2). Secondary records (stderr, tagged
+"secondary": true) cover the reference CLI's DEFAULT x3 image+text guider
+(--scale_im 3.5, reference sample.py:368), batch-4 serving, 512^2, and the
+training step, so both CFG batch sizes are artifacts every round.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the driver-supplied north-star of
@@ -93,6 +96,9 @@ def bench_sample(args, secondary=False):
     import numpy as np
 
     from custom_diffusion360_tpu.diffusion import vanilla_cfg_img_ref
+    from custom_diffusion360_tpu.diffusion.guiders import (
+        scheduled_cfg_img_text_ref,
+    )
     from custom_diffusion360_tpu.engine import Engine, EngineConfig
     from custom_diffusion360_tpu.io.delta import iter_pose_blocks
     from custom_diffusion360_tpu.models.conditioner import (
@@ -143,7 +149,19 @@ def bench_sample(args, secondary=False):
         )
     choices = np.arange(n_ref)
 
-    guider = vanilla_cfg_img_ref(scale=7.5)
+    # Guider selection (VERDICT r3 #1): the headline stays the x2
+    # VanillaCFGImgRef record for cross-round continuity, and every run ALSO
+    # emits the reference CLI's DEFAULT workload — scale_im 3.5 selects the
+    # x3 image+text ScheduledCFGImgTextRef (reference sample.py:368,231-240,
+    # guiders.py:102-133) — as a tagged secondary so both batches are
+    # always on record.
+    if getattr(args, "scale_im", 0.0) > 0:
+        guider = scheduled_cfg_img_text_ref(scale=7.5, scale_im=args.scale_im)
+        glabel = (f"CFGx3 ScheduledCFGImgTextRef scale 7.5/"
+                  f"{args.scale_im:g} — reference-default workload")
+    else:
+        guider = vanilla_cfg_img_ref(scale=7.5)
+        glabel = "CFGx2 VanillaCFGImgRef scale 7.5"
     cams_one = _make_cams(1 + n_ref)
     cams = jax.tree.map(
         lambda x: jnp.broadcast_to(
@@ -211,8 +229,8 @@ def bench_sample(args, secondary=False):
     result = {
         "metric": (
             f"images/min 1-chip SDXL {8*latent}^2 {args.steps}-step "
-            f"pose-conditioned sampling (CFGx2, {n_ref} ref views, NeRF "
-            f"render-once, end-to-end Engine.sample)"
+            f"pose-conditioned sampling ({glabel}; batch {b}, {n_ref} ref "
+            f"views, NeRF render-once, end-to-end Engine.sample)"
         ),
         "value": round(images_per_min, 3),
         "unit": "images/min",
@@ -405,6 +423,10 @@ def main():
     ap.add_argument("--iters", type=int, default=3, help="timed end-to-end runs")
     ap.add_argument("--num_images", type=int, default=10,
                     help="images per prompt (amortizes the conditioner)")
+    ap.add_argument("--scale_im", type=float, default=0.0,
+                    help=">0 selects the x3 image+text guider (the "
+                    "reference CLI default, scale_im 3.5); 0 = the x2 "
+                    "VanillaCFGImgRef headline workload")
     ap.add_argument("--train", action="store_true",
                     help="measure training step throughput instead")
     ap.add_argument("--train_res", type=int, default=512)
@@ -428,6 +450,18 @@ def main():
         return
     import copy
 
+    try:
+        a2 = copy.copy(args)
+        a2.scale_im = 3.5  # reference sample.py's default workload (x3)
+        bench_sample(a2, secondary=True)
+    except Exception as e:  # pragma: no cover
+        print(f"# secondary CFGx3 bench failed: {e!r}", file=sys.stderr)
+    try:
+        a2 = copy.copy(args)
+        a2.batch = 4  # serving record: amortizes render + per-call overhead
+        bench_sample(a2, secondary=True)
+    except Exception as e:  # pragma: no cover
+        print(f"# secondary batch-4 bench failed: {e!r}", file=sys.stderr)
     try:
         a2 = copy.copy(args)
         a2.latent = 64  # 512^2 — the resolution reference sample.py uses

@@ -152,24 +152,50 @@ def main():
     tok_clip, tok_open = make_tokenizers(None)
 
     # phase 1: raw per-item host cost (decode + crop + native resize), the
-    # work one loader thread does — no collate, no device
+    # work one loader thread does — no collate, no device. Measured COLD
+    # (frame cache disabled) so the decode cost is honest.
+    import dataclasses as _dc
+
+    ds_cold = Co3dDataset(_dc.replace(dcfg, cache_frames=0))
     rng = np.random.default_rng(0)
     n_items = min(len(ds), 12)
-    _ = ds.__getitem__(0, rng=np.random.default_rng(1))  # warm (native build)
+    _ = ds_cold.__getitem__(0, rng=np.random.default_rng(1))  # warm (native build)
     t0 = time.time()
     for i in range(n_items):
-        ds.__getitem__(i % len(ds), rng=rng)
+        ds_cold.__getitem__(i % len(ds_cold), rng=rng)
     dt = time.time() - t0
     item_s = n_items / dt
     print(json.dumps({
         "metric": f"host items/s Co3dDataset {args.img_size}^2 "
-                  f"x{args.num_images} views (decode+crop+resize)",
+                  f"x{args.num_images} views (decode+crop+resize, cold)",
         "value": round(item_s, 2),
         "unit": "items/s",
         "vs_baseline": None,
     }))
     print(f"# one item = 1 target + {args.num_images-1} refs; "
           f"{1e3*dt/n_items:.0f} ms/item single-thread", file=sys.stderr)
+
+    # phase 1b: same items through the decoded-frame LRU (Co3dConfig.
+    # cache_frames, default-on): after the first epoch touches the concept
+    # set, an item is selection + mask math only.
+    rng = np.random.default_rng(0)
+    for i in range(n_items):  # populate
+        ds.__getitem__(i % len(ds), rng=rng)
+    rng = np.random.default_rng(0)
+    t0 = time.time()
+    for i in range(n_items):
+        ds.__getitem__(i % len(ds), rng=rng)
+    dt_w = time.time() - t0
+    warm_s = n_items / dt_w
+    print(json.dumps({
+        "metric": f"host items/s Co3dDataset {args.img_size}^2 "
+                  f"x{args.num_images} views (decoded-frame cache, warm)",
+        "value": round(warm_s, 2),
+        "unit": "items/s",
+        "vs_baseline": round(warm_s / item_s, 2),
+    }))
+    print(f"# warm {1e3*dt_w/n_items:.1f} ms/item = {warm_s/item_s:.1f}x "
+          f"cold", file=sys.stderr)
 
     # phase 2: DataLoader end-to-end (threads + collate + device put)
     need_batch_s = args.chip_img_per_min / 60.0 / args.batch_size

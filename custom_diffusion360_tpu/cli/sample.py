@@ -240,11 +240,22 @@ def main(argv=None):
         cfg_sharding = batch_sharding(make_mesh(n_dev))
 
     # one compiled program per run: params/references/cams/cond are jit args
-    # (closures over concrete arrays would bake GBs of constants in)
+    # (closures over concrete arrays would bake GBs of constants in).
+    # Initial noise is derived per JOB index, not per chunk, so a given
+    # (seed, pose, sweep-step) gets identical noise at any --batch; with the
+    # deterministic samplers (euler_edm/heun_edm/dpmpp2m/lms) the output
+    # image is then --batch-invariant too. Ancestral samplers draw their
+    # per-step noise per chunk and stay reproducible only for a fixed --batch.
     @jax.jit
-    def sample_jit(params, references, cams, c, uc, key):
+    def sample_jit(params, references, cams, c, uc, job_idx):
+        noise = jax.vmap(
+            lambda i: jax.random.normal(
+                jax.random.fold_in(key, i), (latent, latent, 4), jnp.float32
+            )
+        )(job_idx)
         z = eng.sample(
             params, c, uc, guider, key,
+            noise=noise,
             shape=(b, latent, latent, 4),
             cams=cams,
             references=references,
@@ -280,8 +291,10 @@ def main(argv=None):
     for start in range(0, len(jobs), b):
         chunk = jobs[start : start + b]
         real = len(chunk)
+        job_idx = list(range(start, start + real))
         while len(chunk) < b:  # pad the ragged tail; extras aren't saved
             chunk.append(chunk[-1])
+            job_idx.append(job_idx[-1])
         # cams rows: [target_i | refs] per image, the b-row block repeated
         # per CFG copy (the guider batches copies block-major, sample.py:166-177)
         rows = stack_cameras(
@@ -295,7 +308,7 @@ def main(argv=None):
         )
         t0 = time.time()
         img = sample_jit(
-            params, references, cams, c, uc, jax.random.fold_in(key, start)
+            params, references, cams, c, uc, jnp.asarray(job_idx, jnp.int32)
         )
         img = np.asarray(
             jnp.clip((img.astype(jnp.float32) + 1) * 127.5, 0, 255)

@@ -256,6 +256,7 @@ class Engine:
         cache_nerf: bool = True,
         cfg_sharding=None,
         sampler: Optional[str] = None,
+        noise=None,
     ):
         """Pose-conditioned sampling -> latents (B, h, w, 4).
 
@@ -284,8 +285,11 @@ class Engine:
         n_steps = num_steps or self.cfg.num_sample_steps
         sigmas = make_sigmas(self.cfg.discretization_name, n_steps)
         k_noise, k_samp = jax.random.split(key)
-        x = jax.random.normal(k_noise, shape, jnp.float32)
-        x = x * jnp.sqrt(1.0 + sigmas[0] ** 2)
+        if noise is None:
+            # callers that need per-row reproducibility across batch sizes
+            # (cli/sample.py --batch) pass explicit per-job noise instead
+            noise = jax.random.normal(k_noise, shape, jnp.float32)
+        x = noise * jnp.sqrt(1.0 + sigmas[0] ** 2)
         b = shape[0]
         from .diffusion.sampling import SAMPLERS
 

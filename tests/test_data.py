@@ -126,6 +126,27 @@ class TestDataset:
         # refs drawn from valid ids
         assert all(i in ds.valid_ids or i == ids[0] for i in ids)
 
+    def test_frame_cache_transparent(self, co3d_root):
+        """cache_frames (default-on LRU over decoded frames) must be
+        invisible: identical items vs cache_frames=0, warm hits included,
+        and no aliasing — mutating one item's arrays must not leak into a
+        later item served from the cache."""
+        import dataclasses
+
+        cfg = _cfg(co3d_root, drop_ratio=0.0, drop_txt=0.0)
+        ds = Co3dDataset(cfg)
+        ds_off = Co3dDataset(dataclasses.replace(cfg, cache_frames=0))
+        for idx in (0, 1, 0, 1):  # revisits hit the cache
+            a = ds.__getitem__(idx, rng=np.random.default_rng(idx))
+            b = ds_off.__getitem__(idx, rng=np.random.default_rng(idx))
+            for k in ("image", "image_ref", "mask", "mask_ref", "opacity",
+                      "original_size"):
+                np.testing.assert_array_equal(a[k], b[k], err_msg=k)
+            a["image"][:] = 99.0  # must not poison the cache
+        assert len(ds._cache) > 0
+        c = ds.__getitem__(0, rng=np.random.default_rng(0))
+        assert float(c["image"].max()) <= 1.0
+
     def test_onlyref_order(self, co3d_root):
         ds = Co3dDataset(_cfg(co3d_root, onlyref=True, addlen=True, repeat=1,
                               drop_ratio=0.0, drop_txt=0.0))

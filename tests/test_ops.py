@@ -172,6 +172,10 @@ class TestOnehotLayoutVariants:
         grid = jax.random.uniform(
             jax.random.fold_in(key, 1), (3, 20, 2), minval=-1.2, maxval=1.2
         )
+        # pin each side's layout explicitly: the module default is env-
+        # dependent ("hp" ships), so computing `want` under the default and
+        # then re-setting "hp" compared hp against hp (advisor r3 finding)
+        monkeypatch.setattr(ohs, "_ONEHOT_LAYOUT", "ph")
         want = ohs.bilinear_sample_matmul(fm, grid)
         monkeypatch.setattr(ohs, "_ONEHOT_LAYOUT", "hp")
         got = ohs.bilinear_sample_matmul(fm, grid)
