@@ -196,7 +196,8 @@ class Engine:
     # -- inference -----------------------------------------------------------
 
     def build_ref_features(
-        self, references, choices, batch_size, num_copies, compact=True
+        self, references, choices, batch_size, num_copies, compact=True,
+        ref_sharding=None,
     ):
         """Assemble per-block reference-token structures from delta-
         checkpoint buffers, replicating the reference CFG layouts
@@ -211,6 +212,10 @@ class Engine:
         across the whole render step and OOMed the b=4 1024^2 render
         (NOTES.md). Dense mode (compact=False) materializes the expanded
         tensors; required when per-row ``mask_ref`` masking applies.
+
+        ref_sharding: optional NamedSharding over the expanded
+        (B*copies, Nref, hw, C) tokens — view-axis (optionally x CFG-axis)
+        latency sharding of the NeRF render (see Engine.sample).
         """
         from .models.nerf import CompactRefTokens
 
@@ -222,7 +227,7 @@ class Engine:
                 chosen = jnp.take(buf[:-1], jnp.asarray(choices), axis=0)  # (n,hw,C)
                 if compact:
                     out[attn_id][d] = CompactRefTokens(
-                        buf[-1], chosen, b, num_copies
+                        buf[-1], chosen, b, num_copies, sharding=ref_sharding
                     )
                     continue
                 n = chosen.shape[0]
@@ -234,6 +239,8 @@ class Engine:
                     ctx = jnp.concatenate([zero, sel], axis=0)
                 else:
                     ctx = sel
+                if ref_sharding is not None:
+                    ctx = jax.lax.with_sharding_constraint(ctx, ref_sharding)
                 out[attn_id][d] = ctx
         return out
 
@@ -255,6 +262,7 @@ class Engine:
         num_steps: Optional[int] = None,
         cache_nerf: bool = True,
         cfg_sharding=None,
+        ref_sharding=None,
         sampler: Optional[str] = None,
         noise=None,
     ):
@@ -276,6 +284,16 @@ class Engine:
         step). Pass shardings whose leading axis divides B * num_copies;
         ``cams``/``references`` inputs should be placed with the same
         sharding (see tests/test_parallel_sampling.py).
+
+        ref_sharding: optional ``NamedSharding`` over the expanded
+        (B * num_copies, Nref, hw, C) reference tokens — shards the NeRF
+        RENDER over the reference-view axis (SURVEY: the only cross-view
+        reduction is the per-point view softmax + pool, one all-reduce).
+        Compose with cfg_sharding on a 2-D ('cfg', 'view') mesh —
+        P('cfg', 'view') here, P('cfg') for cfg_sharding — to cut the
+        first-step render latency by the view-axis size; the 49 cached
+        steps are unaffected (renders are cached per CFG row). Requires
+        Nref divisible by the view-axis size.
 
         The NeRF render happens once: step 0 runs outside the scan, its
         rendered features become nerf_caches for the scanned remainder (at
@@ -308,7 +326,7 @@ class Engine:
             # delta-buffer path (mask_ref=None) streams compact tokens
             ref_features = self.build_ref_features(
                 references, choices, b, guider.num_copies,
-                compact=mask_ref is None,
+                compact=mask_ref is None, ref_sharding=ref_sharding,
             )
 
         def make_denoise(nerf_caches, collect_rendered):

@@ -280,20 +280,28 @@ class CompactRefTokens:
     chosen: (n, hw, C) — the selected reference views.
     batch/copies: static ints; expanded row layout is
     [zero-rows x batch | chosen-rows x batch x (copies-1)].
+    sharding: optional NamedSharding for the EXPANDED (B_exp, N, hw, C)
+    tokens — latency-mode view-axis sharding (e.g. P('cfg', 'view')):
+    project_ref_maps pins the expanded projection to it and GSPMD
+    partitions the whole per-view render, reducing across views only at
+    the softmax/pool all-reduce (engine.sample ref_sharding). Static aux
+    data (NamedSharding is hashable), so no kwarg threading through the
+    UNet layers is needed.
     """
 
-    def __init__(self, zero, chosen, batch: int, copies: int):
+    def __init__(self, zero, chosen, batch: int, copies: int, sharding=None):
         self.zero = zero
         self.chosen = chosen
         self.batch = int(batch)
         self.copies = int(copies)
+        self.sharding = sharding
 
     def tree_flatten(self):
-        return (self.zero, self.chosen), (self.batch, self.copies)
+        return (self.zero, self.chosen), (self.batch, self.copies, self.sharding)
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):
-        return cls(leaves[0], leaves[1], aux[0], aux[1])
+        return cls(leaves[0], leaves[1], *aux)
 
     @property
     def shape(self):
@@ -484,7 +492,12 @@ def project_ref_maps(params, xref, mask_ref, cfg: NerfConfig):
         g_chosen = proj(xref.chosen.astype(jnp.float32).astype(cdt))
         g_zero = proj(xref.zero.astype(jnp.float32).astype(cdt))
         zero_rows = jnp.broadcast_to(g_zero[None], (n,) + g_zero.shape)
-        return xref.expand_rows(zero_rows, g_chosen)
+        out = xref.expand_rows(zero_rows, g_chosen)
+        if xref.sharding is not None:
+            # latency mode: pin (batch, view) so GSPMD partitions the
+            # per-view sampling/MLP work; only softmax+pool cross views
+            out = jax.lax.with_sharding_constraint(out, xref.sharding)
+        return out
 
     xref = apply_ref_mask(xref.astype(jnp.float32), mask_ref)
     return proj(xref.astype(cdt))

@@ -64,6 +64,63 @@ def _decompress(blob: bytes):
         return None
 
 
+_BENIGN_AOT = re.compile(
+    rb"cpu_aot_loader\.cc.*Target machine feature \+prefer-no-[a-z\-]+ is"
+)
+_FILTER_ON = False
+
+
+def install_benign_aot_log_filter():
+    """Drop the ONE known-false-positive XLA error line from stderr:
+    ``cpu_aot_loader.cc: Target machine feature +prefer-no-<x> is not
+    supported on the host machine``.
+
+    Why this is safe to drop: XLA embeds LLVM *tuning* pseudo-features
+    (``+prefer-no-gather``/``+prefer-no-scatter``, chosen per CPU model)
+    in every CPU AOT result, but the loader's host check enumerates only
+    real CPUID features — so the line fires on EVERY disk-cache hit, even
+    for entries this very process wrote minutes earlier (verified: two
+    back-to-back dryruns on one machine; the miss run is silent, the hit
+    run warns). A REAL ISA mismatch can't reach this loader at all because
+    the cache directory is keyed by the full XLA target-feature string
+    (see module docstring) — a foreign cache lands in a different
+    directory. Lines naming any real feature (``+avx512...``) are NOT
+    matched and pass through untouched, as does everything else on stderr.
+
+    Installed once per process (idempotent); forwards via a reader thread
+    on a pipe dup2'd over fd 2.
+    """
+    global _FILTER_ON
+    if _FILTER_ON:
+        return
+    import threading
+
+    try:
+        real_err = os.dup(2)
+        r, w = os.pipe()
+        os.dup2(w, 2)
+        os.close(w)
+
+        def pump():
+            buf = b""
+            while True:
+                chunk = os.read(r, 65536)
+                if not chunk:
+                    break
+                buf += chunk
+                while b"\n" in buf:
+                    line, buf = buf.split(b"\n", 1)
+                    if not _BENIGN_AOT.search(line):
+                        os.write(real_err, line + b"\n")
+            if buf:
+                os.write(real_err, buf)
+
+        threading.Thread(target=pump, daemon=True).start()
+        _FILTER_ON = True
+    except Exception:  # pragma: no cover - filter is best-effort
+        pass
+
+
 def _reset_cache_object():
     """Make a jax_compilation_cache_dir update take effect: JAX holds the
     cache instance in a module global, so without this reset later writes
@@ -144,6 +201,9 @@ def setup_compile_cache(root: str | None = None, min_compile_secs: float = 5.0):
                 root,
                 f"cpu-xla-{fp}" if fp else f"cpu-{_host_fingerprint()}",
             )
+            # same-host cache HITS still trip a false-positive loader error
+            # over XLA's tuning pseudo-features; drop exactly that line
+            install_benign_aot_log_filter()
         jax.config.update("jax_compilation_cache_dir", root)
         jax.config.update(
             "jax_persistent_cache_min_compile_time_secs", float(min_compile_secs)

@@ -112,3 +112,83 @@ def test_cfg_sharded_single_image_latency_mode():
 
     txt = jsample.lower(*args).compile().as_text()
     assert re.search(r"all-reduce|all-gather|collective-permute", txt)
+
+
+def test_cfg_x_view_sharded_render_latency_mode():
+    """First-step latency mode squared: CFG copies over the 'cfg' mesh axis
+    AND the NeRF render over the reference-VIEW axis (engine.sample
+    ref_sharding; VERDICT r3 #5). The only cross-view reduction is the
+    per-point view softmax + pool (one all-reduce); results must match the
+    single-device run and the program must carry collectives."""
+    import functools
+    import re
+
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    eng = Engine(TINY_CFG)
+    params = eng.init_params(jax.random.PRNGKey(0))
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, ("cfg", "view"))  # 2 CFG rows x N=2 reference views
+    b = 1
+
+    rng = np.random.default_rng(3)
+    refs = {}
+    for _, _, attn_id, d in iter_pose_blocks(TINY_CFG.unet):
+        refs.setdefault(attn_id, {})[d] = jnp.asarray(
+            rng.normal(size=(N + 1, 16, 128)).astype(np.float32) * 0.1
+        )
+    cond = {
+        "crossattn": jnp.ones((b, 16, 96)) * 0.1,
+        "vector": jnp.ones((b, 72)) * 0.1,
+    }
+    guider = vanilla_cfg_img_ref(scale=5.0)
+    cams1 = random_cameras((1 + N) * b, seed=4).reshape(b, 1 + N)
+    cams = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), cams1)
+
+    def sample(params, refs, cond, cams, key, cfg_sh=None, ref_sh=None):
+        return eng.sample(
+            params, cond, cond, guider, key,
+            shape=(b, 8, 8, 4), cams=cams, references=refs,
+            choices=np.arange(N), num_steps=2,
+            cfg_sharding=cfg_sh, ref_sharding=ref_sh,
+        )
+
+    key = jax.random.PRNGKey(5)
+    base = sample(params, refs, cond, cams, key)
+
+    jsample = jax.jit(
+        functools.partial(
+            sample,
+            cfg_sh=NamedSharding(mesh, P("cfg")),
+            ref_sh=NamedSharding(mesh, P("cfg", "view")),
+        )
+    )
+    args = (
+        replicate(params, mesh), replicate(refs, mesh),
+        replicate(cond, mesh), shard_batch(cams, mesh, axis="cfg"), key,
+    )
+    out = jsample(*args)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-4)
+
+    txt = jsample.lower(*args).compile().as_text()
+    assert re.search(r"all-reduce|all-gather|collective-permute", txt)
+
+
+def test_view_sharded_render_dense_path():
+    """ref_sharding must also hold on the dense (mask_ref) expansion path:
+    build_ref_features(compact=False) pins the expanded tokens directly."""
+    eng = Engine(TINY_CFG)
+    mesh = make_mesh(2, axis="view")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    rng = np.random.default_rng(3)
+    buf = jnp.asarray(rng.normal(size=(N + 1, 16, 128)).astype(np.float32))
+    dense = eng.build_ref_features(
+        {"m1": {0: buf}}, np.arange(N), 1, 2, compact=False,
+        ref_sharding=NamedSharding(mesh, P(None, "view")),
+    )
+    want = eng.build_ref_features({"m1": {0: buf}}, np.arange(N), 1, 2,
+                                  compact=False)
+    np.testing.assert_allclose(
+        np.asarray(dense["m1"][0]), np.asarray(want["m1"][0])
+    )
