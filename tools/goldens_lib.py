@@ -228,6 +228,106 @@ def compute_goldens():
         )
         out["train1_update_norm"] = jnp.sqrt(sum(upd))
 
+        # --- TP-sharded sampling (parallel/tp.py over a 1x2 mesh) ---------
+        # pins the Megatron-partitioned program's numerics, not just its
+        # equivalence (test_tp.py); uses the same refs/cams as sample3
+        from custom_diffusion360_tpu.parallel import (
+            make_mesh_2d,
+            replicate,
+            shard_batch,
+            shard_params_tp,
+        )
+
+        mesh2d = make_mesh_2d(1, 2)
+        z3_tp = jax.jit(
+            lambda p, r, c, cams, k: eng.sample(
+                p, c, c, guider, k,
+                shape=(1, 8, 8, 4), cams=cams, references=r,
+                choices=np.arange(N), num_steps=3,
+            )
+        )(
+            shard_params_tp(params, mesh2d),
+            replicate(refs_e, mesh2d),
+            replicate(cond_s, mesh2d),
+            shard_batch(cams_s, mesh2d),
+            jax.random.PRNGKey(0),
+        )
+        out["sample3_latent_tp"] = z3_tp
+
+        # --- compact-ref expansion (CompactRefTokens -> projection) ------
+        from custom_diffusion360_tpu.models.nerf import (
+            CompactRefTokens,
+            NerfConfig,
+            init_nerf_params,
+            project_ref_maps,
+        )
+
+        ncfg = NerfConfig(dim=32, num_freqs=4)
+        nparams = init_nerf_params(jax.random.PRNGKey(21), ncfg)
+        rng = np.random.default_rng(109)
+        zero_pl = jnp.asarray(rng.normal(size=(16, 32)).astype(np.float32))
+        chosen_pl = jnp.asarray(
+            rng.normal(size=(2, 16, 32)).astype(np.float32)
+        )
+        out["compact_ref_projection"] = project_ref_maps(
+            nparams, CompactRefTokens(zero_pl, chosen_pl, 1, 2), None, ncfg
+        )
+
+        # --- capture (CUDACallback equivalent, train/capture.py) ---------
+        from custom_diffusion360_tpu.train.capture import capture_references
+
+        n_items = 3
+        rng = np.random.default_rng(110)
+        imgs_cap = jnp.asarray(
+            rng.normal(size=(n_items, 64, 64, 3)).astype(np.float32) * 0.2
+        )
+        cams_cap = rot_cams(n_items + 2, 111).reshape(1, n_items + 2)
+        cond_cap = {
+            "crossattn": jnp.asarray(
+                rng.normal(
+                    size=(n_items + 2, 16, TINY_CFG.unet.context_dim)
+                ).astype(np.float32) * 0.1
+            ),
+            "vector": jnp.asarray(
+                rng.normal(
+                    size=(n_items + 2, TINY_CFG.unet.adm_in_channels)
+                ).astype(np.float32) * 0.1
+            ),
+        }
+        cap = capture_references(
+            eng, params, imgs_cap, cams_cap, cond_cap, jax.random.PRNGKey(20)
+        )
+        a0 = sorted(cap.keys())[0]
+        out["capture_ref_tokens"] = cap[a0][sorted(cap[a0].keys())[0]]
+
+        # --- AE GAN trainer step (train/ae_engine.py) ---------------------
+        from custom_diffusion360_tpu.models.vae import VAEConfig
+        from custom_diffusion360_tpu.train.ae_engine import (
+            AEEngine,
+            AEEngineConfig,
+        )
+
+        aeng = AEEngine(AEEngineConfig(
+            vae=VAEConfig(ch=32, ch_mult=(1,), num_res_blocks=1, z_channels=4),
+            disc_ndf=8, use_lpips=False, lr=1e-3,
+        ))
+        astate = aeng.init_state(jax.random.PRNGKey(22))
+        xa = jax.random.uniform(
+            jax.random.PRNGKey(23), (2, 32, 32, 3), jnp.float32, -1.0, 1.0
+        )
+        astate2, alogs = aeng.train_step(astate, xa, jax.random.PRNGKey(24))
+        out["ae1_losses"] = jnp.stack(
+            [jnp.asarray(alogs[k], jnp.float32) for k in sorted(alogs)]
+        )
+        aupd = jax.tree_util.tree_leaves(
+            jax.tree.map(
+                lambda a, b: jnp.sum((a - b).astype(jnp.float32) ** 2),
+                astate.params,
+                astate2.params,
+            )
+        )
+        out["ae1_update_norm"] = jnp.sqrt(sum(aupd))
+
         # --- guiders (pure array math) -----------------------------------
         rng = np.random.default_rng(106)
         xg = jnp.asarray(rng.normal(size=(4, 4, 4, 2)).astype(np.float32))

@@ -22,6 +22,13 @@ def main(argv=None):
     ap.add_argument("--check", action="store_true")
     args = ap.parse_args(argv)
 
+    # the TP-sharded sampling golden needs a multi-device CPU mesh (the
+    # pytest path gets 8 from tests/conftest.py)
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
     import jax
 
     # the axon TPU plugin ignores JAX_PLATFORMS env; force via config
