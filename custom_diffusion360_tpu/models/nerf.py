@@ -611,7 +611,9 @@ def nerf_encoding_split(
     h_geo = jnp.einsum(
         "bnfp,fc->bnpc", feat, l1w[c:s1].astype(cdt)
     ).reshape(b, n, hw, s, c)
-    h_pre = sampled[..., :c] + h_geo + geo_ray[..., None, :]
+    # explicit cast: under CD360_ONEHOT_OUT=f32 the sampler returns the f32
+    # accumulator and the convert fuses HERE instead of standing alone
+    h_pre = sampled[..., :c].astype(cdt) + h_geo + geo_ray[..., None, :]
     h_act = silu(h_pre)
 
     attn = None
@@ -626,7 +628,7 @@ def nerf_encoding_split(
             "bfp,f->bp", tgt, vw[c:v1, 0].astype(cdt)
         ).reshape(b, 1, hw, s)
         logits = (
-            sampled[..., c] + logit_pts + logit_ray[..., :1]
+            sampled[..., c].astype(cdt) + logit_pts + logit_ray[..., :1]
         ).astype(jnp.float32)
         attn = jax.nn.softmax(logits, axis=1)  # (B, N, hw, S) f32
 

@@ -36,8 +36,14 @@ import jax.numpy as jnp
 #                            terms per row, so bf16 accumulation is safe);
 #                            measured noise-level (818 vs 822 ms — the output
 #                            convert was already fused), kept for A/B only.
+#   CD360_ONEHOT_OUT=f32     return the f32 accumulator uncast and let the
+#                            CONSUMERS convert (the round-3 trace shows a
+#                            ~38 ms/render copy at the astype return; if it
+#                            is the standalone convert, deferring it fuses
+#                            the cast into the consumer add/softmax fusions).
 _ONEHOT_LAYOUT = os.environ.get("CD360_ONEHOT_LAYOUT", "hp")
 _ONEHOT_ACC = os.environ.get("CD360_ONEHOT_ACC", "f32")
+_ONEHOT_OUT = os.environ.get("CD360_ONEHOT_OUT", "in")
 
 
 def bilinear_sample_matmul(
@@ -101,6 +107,8 @@ def bilinear_sample_matmul(
         "mhp,mhc->mpc" if hp else "mph,mhc->mpc", onehot, fm,
         preferred_element_type=acc,
     )
+    if _ONEHOT_OUT == "f32":
+        return out  # consumers cast; A/B for the astype-return copy
     return out.astype(feats.dtype)
 
 

@@ -184,6 +184,24 @@ class TestOnehotLayoutVariants:
             np.asarray(want), np.asarray(grid_sample_2d(fm, grid)), atol=1e-5
         )
 
+    def test_f32_out_mode(self, monkeypatch):
+        """CD360_ONEHOT_OUT=f32 returns the uncast f32 accumulator; values
+        must equal the default (cast) path exactly after the consumer cast."""
+        import custom_diffusion360_tpu.ops.onehot_sample as ohs
+
+        key = jax.random.PRNGKey(5)
+        fm = jax.random.normal(key, (2, 8, 8, 8)).astype(jnp.bfloat16)
+        grid = jax.random.uniform(
+            jax.random.fold_in(key, 1), (2, 16, 2), minval=-1.0, maxval=1.0
+        )
+        want = ohs.bilinear_sample_matmul(fm, grid)
+        monkeypatch.setattr(ohs, "_ONEHOT_OUT", "f32")
+        got = ohs.bilinear_sample_matmul(fm, grid)
+        assert got.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(got.astype(fm.dtype)), np.asarray(want)
+        )
+
     def test_bf16_accumulate_close(self, monkeypatch):
         import custom_diffusion360_tpu.ops.onehot_sample as ohs
 
