@@ -60,6 +60,9 @@ def main():
                     "(parse with benchmarks/trace_attrib.py)")
     ap.add_argument("--dump_hlo", default=None, metavar="FILE",
                     help="write the compiled cached-step HLO text to FILE")
+    ap.add_argument("--dump_hlo_render", default=None, metavar="FILE",
+                    help="write the compiled render-step HLO text to FILE "
+                    "(--render_iters 0 to dump without timing)")
     ap.add_argument("--profile_render", default=None, metavar="DIR",
                     help="write a jax.profiler trace of the render step")
     ap.add_argument("--profile_vae", default=None, metavar="DIR",
@@ -231,6 +234,14 @@ def main():
 
     # first (render) step
     render_jit = jax.jit(render_step)
+    if args.dump_hlo_render:
+        txt = render_jit.lower(params, refs, x, sigmas[0]).compile().as_text()
+        with open(args.dump_hlo_render, "w") as f:
+            f.write(txt)
+        print(f"# wrote {args.dump_hlo_render} ({len(txt)} bytes)",
+              file=sys.stderr)
+        if args.render_iters == 0:
+            return
     t0 = time.time()
     denoised, caches = render_jit(params, refs, x, sigmas[0])
     force(denoised)
