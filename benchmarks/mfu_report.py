@@ -46,6 +46,11 @@ def main():
 
     setup_compile_cache()
     ap = argparse.ArgumentParser()
+    ap.add_argument("--phase", choices=("step", "render", "vae"),
+                    default="step",
+                    help="which phase of the 50-step sample to account: the "
+                    "cached denoiser step (default), the NeRF render+step-0, "
+                    "or the VAE decode")
     ap.add_argument("--latent", type=int, default=128)
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--nref", type=int, default=8)
@@ -129,6 +134,71 @@ def main():
     }
     uc = jax.tree.map(jnp.zeros_like, cond)
 
+    def force(t):
+        return float(jnp.sum(t.astype(jnp.float32)))
+
+    def report_phase(label, fn, operands, t_unit_calls=1):
+        """Generic per-phase accounting: compile, cost-analyse, time, trace,
+        and bucket device time by XLA's own hlo_category (authoritative: the
+        render's dot-rooted fusions are 'convolution fusion' MXU work that
+        the name-regex buckets misfile as elementwise). The 'while' umbrella
+        row (the ray-chunk lax.scan) double-counts its body ops in the trace
+        and is reported separately, not as a class."""
+        jf = jax.jit(fn)
+        lowered = jf.lower(*operands)
+        compiled = lowered.compile()
+        cost = compiled.cost_analysis()
+        if isinstance(cost, (list, tuple)):
+            cost = cost[0] if cost else {}
+        flops = float((cost or {}).get("flops", 0.0))
+        out0 = jf(*operands)
+        jax.tree.map(
+            lambda t: force(t) if hasattr(t, "astype") else t, out0
+        )
+        t0 = time.time()
+        for _ in range(args.iters):
+            out0 = jf(*operands)
+        jax.tree.map(
+            lambda t: force(t) if hasattr(t, "astype") else t, out0
+        )
+        t_phase = (time.time() - t0) / max(args.iters, 1) / t_unit_calls
+        with tempfile.TemporaryDirectory(prefix="mfu_trace_") as td:
+            with jax.profiler.trace(td):
+                for _ in range(args.trace_steps):
+                    out0 = jf(*operands)
+                jax.tree.map(
+                    lambda t: force(t) if hasattr(t, "astype") else t, out0
+                )
+            _, by_name, _, _, _, by_cat = attribute(td)
+        div = args.trace_steps * t_unit_calls
+        per = {k: v / div for k, v in by_cat.items() if v / div >= 0.05}
+        while_ms = by_name.get("while", 0.0) / div
+        if while_ms:
+            per.pop("while", None)
+        tflops = flops / t_phase / 1e12
+        classes = [
+            {"class": k, "ms": round(v, 2)}
+            for k, v in sorted(per.items(), key=lambda kv: -kv[1])
+        ]
+        out = {
+            "metric": f"{label} per-hlo-category device time",
+            "t_ms": round(t_phase * 1e3, 1),
+            "achieved_tflops": round(tflops, 1),
+            "sustained_peak_tflops": SUSTAINED_MATMUL_TFLOPS,
+            "flops": flops,
+            "classes_hlo": classes,
+            "while_umbrella_ms_excluded": round(while_ms, 1),
+        }
+        print(json.dumps(out))
+        print(f"\n# {label}: t={t_phase*1e3:.1f} ms  {tflops:.1f} TFLOPS "
+              f"({tflops/SUSTAINED_MATMUL_TFLOPS:.2f} of sustained peak)",
+              file=sys.stderr)
+        for c in classes:
+            print(f"#   {c['ms']:8.2f} ms  {c['class']}", file=sys.stderr)
+        if while_ms:
+            print(f"#   (while umbrella {while_ms:.1f} ms excluded — "
+                  f"double-counts the scan body)", file=sys.stderr)
+
     def cached_step(params, caches, x, sigma, next_sigma):
         def network(xs, t, c, **kw):
             return unet_apply(
@@ -144,6 +214,60 @@ def main():
         return x + (next_sigma - sigma) * d
 
     x = jax.random.normal(jax.random.PRNGKey(1), (b, latent, latent, 4))
+
+    if args.phase == "vae":
+        from custom_diffusion360_tpu.models.vae import (
+            VAEConfig,
+            decode_first_stage,
+            init_vae_params,
+        )
+
+        vae_cfg = VAEConfig()
+        vparams = fast_random_params(
+            lambda k: init_vae_params(k, vae_cfg), jax.random.PRNGKey(2),
+            dtype,
+        )
+        report_phase(
+            f"VAE decode {8 * latent}^2",
+            lambda vp, z: decode_first_stage(vp, z.astype(dtype), vae_cfg),
+            (vparams, x),
+        )
+        return
+
+    if args.phase == "render":
+        # compact reference tokens, exactly the shape
+        # engine.build_ref_features(compact=True) feeds the shipped sampler
+        from custom_diffusion360_tpu.models.nerf import CompactRefTokens
+
+        rng = np.random.default_rng(0)
+        refs = {}
+        for _, _, attn_id, d in iter_pose_blocks(cfg):
+            ds, ch, _ = meta[attn_id]
+            hw = (latent // ds) ** 2
+            buf = rng.normal(size=(n_ref + 1, hw, ch)).astype(np.float32)
+            refs.setdefault(attn_id, {})[d] = CompactRefTokens(
+                jnp.asarray(buf[-1] * 0.05), jnp.asarray(buf[:-1] * 0.05),
+                b, 2,
+            )
+
+        def render_step(params, refs, x, sigma):
+            def network(xs, t, c, **kw):
+                return unet_apply(
+                    params, cfg, xs, t, c["crossattn"], c["vector"],
+                    cams=cams, ref_features=refs, compute_dtype=dtype,
+                )
+
+            s = jnp.full((b,), sigma, jnp.float32)
+            xb, sb, cb = guider.prepare(x, s, cond, uc)
+            denoised, aux = den(network, xb, sb, cb)
+            return guider.combine(denoised, s), aux["rendered"]
+
+        report_phase(
+            f"NeRF render + UNet step 0 ({8 * latent}^2, CFGx2)",
+            render_step, (params, refs, x, sigmas[0]),
+        )
+        return
+
     step_jit = jax.jit(cached_step)
     lowered = step_jit.lower(params, caches, x, sigmas[1], sigmas[2])
     compiled = lowered.compile()

@@ -99,6 +99,7 @@ def attribute(trace_dir: str):
     by_name = collections.Counter()
     by_source = collections.Counter()
     by_pair = collections.Counter()
+    by_category = collections.Counter()
     total = 0.0
     for e in events:
         if e.get("ph") != "X" or "dur" not in e:
@@ -114,6 +115,11 @@ def attribute(trace_dir: str):
         by_bucket[bucket(name)] += dur
         by_name[re.sub(r"\.\d+", "", name)] += dur
         a = e.get("args") or {}
+        # hlo_category is XLA's OWN op classification (e.g. "convolution
+        # fusion" = MXU work incl. dot-rooted fusions, "loop fusion" =
+        # elementwise, "data formatting" = layout copies) — authoritative
+        # where the name-regex buckets misfile generic "fusion" ops.
+        by_category[a.get("hlo_category") or "<uncategorized>"] += dur
         src = a.get("source") or a.get("source_info") or ""
         if src:
             by_source[src] += dur
@@ -121,7 +127,8 @@ def attribute(trace_dir: str):
 
     to_ms = lambda c: {k: v / 1e3 for k, v in c.items()}  # noqa: E731
     return (to_ms(by_bucket), to_ms(by_name), to_ms(by_source),
-            {k: v / 1e3 for k, v in by_pair.items()}, total / 1e3)
+            {k: v / 1e3 for k, v in by_pair.items()}, total / 1e3,
+            to_ms(by_category))
 
 
 def main():
@@ -133,15 +140,20 @@ def main():
     args = ap.parse_args()
 
     print(f"# {find_trace(args.trace_dir)}", file=sys.stderr)
-    by_bucket, by_name, by_source, by_pair, total = attribute(args.trace_dir)
+    (by_bucket, by_name, by_source, by_pair, total,
+     by_category) = attribute(args.trace_dir)
     by_bucket = collections.Counter(by_bucket)
     by_name = collections.Counter(by_name)
     by_source = collections.Counter(by_source)
     by_pair = collections.Counter(by_pair)
+    by_category = collections.Counter(by_category)
 
     div = args.steps if args.steps else 1
     unit = "ms/step" if args.steps else "ms total"
     print(f"device op time: {total/div:.2f} {unit}")
+    print("\n== by XLA hlo_category ==")
+    for k, v in by_category.most_common():
+        print(f"{v/div:9.2f}  {100*v/total:5.1f}%  {k}")
     print("\n== by bucket ==")
     for k, v in by_bucket.most_common():
         print(f"{v/div:9.2f}  {100*v/total:5.1f}%  {k}")

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 
 from ..geometry.cameras import Cameras
-from ..ops.attention import dot_product_attention
+from ..ops.attention import dot_product_attention, dot_product_attention_qkv
 from ..ops.volume_render import volume_render
 from .nerf import NerfConfig, from_chunked, init_nerf_params, nerfsd_apply
 from .nn import (
@@ -133,6 +133,12 @@ def cross_attention_apply(p, x, context=None, *, n_heads: int, kv=None):
             lp = p["lora"]
             q = q + linear(lp["q_up"], linear(lp["q_down"], x))
     elif context is None and "to_qkv" in p:
+        if "lora" not in p:
+            # fused-QKV self-attention: hand the projection output to the
+            # kernel whole (see ops/attention.dot_product_attention_qkv) —
+            # the split+transpose route below costs 6 copy fusions/layer
+            out = dot_product_attention_qkv(linear(p["to_qkv"], x), n_heads)
+            return linear(p["to_out"], out)
         q, k, v = jnp.split(linear(p["to_qkv"], x), 3, axis=-1)
     elif context is not None and "to_kv" in p:
         q = linear(p["to_q"], x)

@@ -27,6 +27,15 @@ import jax.numpy as jnp
 # Default stays on the swapaxes+bhnd path until a trace shows bnhd wins.
 _USE_BNHD = os.environ.get("CD360_ATTN_BNHD", "") == "1"
 
+# Fused-QKV self-attention path (one (b,3,h,n,d) kernel operand instead of
+# split + per-head transposes). CD360_ATTN_QKV_FUSED=0 restores the split
+# path for A/B. Default on: same-session TPU A/B measured 123.9 -> 123.0
+# ms on the 1024^2 cached sampling step (round 4) — ~0.6-0.9 ms/step across
+# four runs, well short of the ~2.7 ms the halved qkv-copy traffic predicts
+# (the kernel's VPU softmax denominator gives part back; see
+# block_attention._forward_qkv_fused).
+_QKV_FUSED = os.environ.get("CD360_ATTN_QKV_FUSED", "1") == "1"
+
 _FLASH = None
 
 
@@ -143,6 +152,42 @@ def dot_product_attention(
         return jnp.swapaxes(out, 1, 2)
 
     return _xla_attention(q, k, v, scale)
+
+
+def dot_product_attention_qkv(
+    qkv: jnp.ndarray, n_heads: int, scale: float | None = None
+) -> jnp.ndarray:
+    """Self-attention from the FUSED to_qkv projection output.
+
+    qkv: (b, n, 3*h*d), columns ordered [q | k | v] -> (b, n, h*d).
+    When the single-pass kernel applies, feeds it one (b, 3, h, n, d)
+    operand (one transpose copy) instead of split+per-head transposes
+    (six copy fusions per layer — see block_attention_qkv_fused); else
+    splits and falls back to :func:`dot_product_attention`.
+    """
+    b, n, inner3 = qkv.shape
+    inner = inner3 // 3
+    d = inner // n_heads
+    if scale is None:
+        scale = d**-0.5
+    block_q = 256 if n > 2048 else 512
+    if (
+        _QKV_FUSED
+        and jax.devices()[0].platform == "tpu"
+        and d % 64 == 0
+        and 128 < n <= 4096
+        and n % block_q == 0
+    ):
+        from .block_attention import block_attention_qkv_fused
+
+        q5 = qkv.reshape(b, n, 3, n_heads, d).transpose(0, 2, 3, 1, 4)
+        out = block_attention_qkv_fused(q5, scale, block_q)  # (b, h, n, d)
+        return jnp.swapaxes(out, 1, 2).reshape(b, n, inner)
+    q, k, v = jnp.split(qkv, 3, axis=-1)
+    q = q.reshape(b, n, n_heads, d)
+    k = k.reshape(b, n, n_heads, d)
+    v = v.reshape(b, n, n_heads, d)
+    return dot_product_attention(q, k, v, scale).reshape(b, n, inner)
 
 
 def attention_padded_kv(q, k, v, kv_len: int, scale: float | None = None):

@@ -231,6 +231,90 @@ def _forward_bnhd(q, k, v, scale, kv_len, block_q):
     return out[:, :n]
 
 
+def _forward_qkv_fused(qkv, scale, block_q):
+    """Self-attention from ONE fused (b, 3, h, n, d) operand.
+
+    Motivation (round-4 step-copy ledger, HLO dump of the 1024^2 cached
+    step): the to_qkv path paid SIX per-layer copy fusions — 3 split
+    materializations (transformer.py:136, {1,2,0} layouts) + 3 head
+    transposes (:151-153, {3,1,2,0}) ≈ 5.4 ms/step. Feeding the kernel the
+    fused projection output via ONE (0,2,3,1,4) transpose and three
+    BlockSpecs that index the same buffer (q at [i,0,h], k at [i,1,h],
+    v at [i,2,h]) replaces all six with a single 3x-sized copy — halving
+    the qkv-side HBM traffic and removing four fusion roots per layer.
+
+    V lives at d lanes inside the operand, so the softmax denominator
+    can't ride the MXU as a ones-column of V' (see _attend); it falls back
+    to a VPU reduce over the scores tile — one extra pass over a tile the
+    exp already touched.
+    """
+    b, three, h, n, d = qkv.shape
+    assert three == 3 and n % block_q == 0 and n % 128 == 0
+
+    def kernel(q_ref, k_ref, v_ref, o_ref):
+        for i in range(h):
+            q = q_ref[0, 0, i]
+            q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+            s = jax.lax.dot_general(
+                q, k_ref[0, 0, i], (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            e = jnp.exp(s)
+            denom = jnp.sum(e, axis=-1, keepdims=True)
+            o = jax.lax.dot_general(
+                e.astype(v_ref.dtype), v_ref[0, 0, i],
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            o_ref[0, i] = (o / denom).astype(o_ref.dtype)
+
+    compiler_params = None
+    if not _INTERPRET:
+        compiler_params = pltpu.CompilerParams(vmem_limit_bytes=96 * 2**20)
+    return pl.pallas_call(
+        kernel,
+        grid=(b, n // block_q),
+        in_specs=[
+            pl.BlockSpec((1, 1, h, block_q, d), lambda i, t: (i, 0, 0, t, 0)),
+            pl.BlockSpec((1, 1, h, n, d), lambda i, t: (i, 1, 0, 0, 0)),
+            pl.BlockSpec((1, 1, h, n, d), lambda i, t: (i, 2, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, h, block_q, d), lambda i, t: (i, 0, t, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, h, n, d), qkv.dtype),
+        compiler_params=compiler_params,
+        interpret=_INTERPRET,
+    )(qkv, qkv, qkv)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1, 2))
+def block_attention_qkv_fused(qkv, scale, block_q=512):
+    """softmax(q k^T * scale) v for SELF-attention, q/k/v packed in one
+    (b, 3, h, n, d) tensor (the reshaped+transposed to_qkv projection).
+    Returns (b, h, n, d). Requires n % block_q == 0 (no padding path —
+    callers dispatch here only for the UNet's 1024/4096 sequences).
+    """
+    if not _HAS_PALLAS or (
+        jax.devices()[0].platform != "tpu" and not _INTERPRET
+    ):
+        return _xla_f32(qkv[:, 0], qkv[:, 1], qkv[:, 2], scale, None)
+    return _forward_qkv_fused(qkv, scale, block_q)
+
+
+def _fwd_qkv_fused(qkv, scale, block_q):
+    return block_attention_qkv_fused(qkv, scale, block_q), (qkv,)
+
+
+def _bwd_qkv_fused(scale, block_q, res, g):
+    (qkv,) = res
+    dq, dk, dv = _bwd(scale, None, block_q,
+                      (qkv[:, 0], qkv[:, 1], qkv[:, 2]), g)
+    return (jnp.stack([dq, dk, dv], axis=1),)
+
+
+block_attention_qkv_fused.defvjp(_fwd_qkv_fused, _bwd_qkv_fused)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
 def block_attention_bnhd(q, k, v, scale, kv_len=None, block_q=512):
     """block_attention for (b, n, h, d)-layout operands (no swapaxes).

@@ -58,6 +58,59 @@ class TestKernel:
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
 
 
+class TestQkvFusedKernel:
+    """Fused-QKV self-attention: one (b, 3, h, n, d) operand, three
+    BlockSpecs reading the same buffer (ops/block_attention.py:234)."""
+
+    def _pack(self, q, k, v):
+        # (b,h,n,d) each -> (b,3,h,n,d)
+        return jnp.stack([q, k, v], axis=1)
+
+    def test_matches_reference(self):
+        key = jax.random.PRNGKey(11)
+        q = jax.random.normal(key, (2, 3, 256, 64))
+        k = jax.random.normal(jax.random.fold_in(key, 1), (2, 3, 256, 64))
+        v = jax.random.normal(jax.random.fold_in(key, 2), (2, 3, 256, 64))
+        got = ba.block_attention_qkv_fused(self._pack(q, k, v), 0.125, 128)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(_ref(q, k, v, 0.125)), atol=2e-5
+        )
+
+    def test_gradient_matches(self):
+        """Custom VJP on the packed operand vs autodiff through the XLA
+        reference, with a non-trivial cotangent."""
+        key = jax.random.PRNGKey(12)
+        qkv = jax.random.normal(key, (1, 3, 2, 128, 64))
+        w = jax.random.normal(jax.random.fold_in(key, 3), (1, 2, 128, 64))
+
+        def loss_kernel(qkv):
+            return (ba.block_attention_qkv_fused(qkv, 0.125, 128) * w).sum()
+
+        def loss_ref(qkv):
+            return (_ref(qkv[:, 0], qkv[:, 1], qkv[:, 2], 0.125) * w).sum()
+
+        g1 = jax.grad(loss_kernel)(qkv)
+        g2 = jax.grad(loss_ref)(qkv)
+        np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-4)
+
+    def test_wrapper_matches_split_path(self):
+        """ops/attention.dot_product_attention_qkv == the split+reshape
+        route, from the fused (b, n, 3*h*d) projection layout."""
+        from custom_diffusion360_tpu.ops import attention as at
+
+        key = jax.random.PRNGKey(13)
+        b, h, n, d = 2, 4, 192, 64
+        qkv = jax.random.normal(key, (b, n, 3 * h * d))
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        want = at.dot_product_attention(
+            q.reshape(b, n, h, d), k.reshape(b, n, h, d),
+            v.reshape(b, n, h, d), d**-0.5,
+        ).reshape(b, n, h * d)
+        got = at.dot_product_attention_qkv(qkv, h)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                                   atol=2e-5)
+
+
 class TestBnhdKernel:
     """Transpose-free (b, n, h, d) variant vs the transposed reference."""
 
