@@ -218,8 +218,8 @@ class TestSampling:
             out_compact = f()
             orig = eng.build_ref_features
             eng.build_ref_features = (
-                lambda r, ch, b, k, compact=True: orig(
-                    r, ch, b, k, compact=False
+                lambda r, ch, b, k, compact=True, **kw: orig(
+                    r, ch, b, k, compact=False, **kw
                 )
             )
             try:
