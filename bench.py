@@ -19,8 +19,18 @@ training step, so both CFG batch sizes are artifacts every round.
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 vs_baseline is measured against the driver-supplied north-star of
 2x A100 images/min (BASELINE.json): we take 5 images/min as the A100
-estimate for this pipeline (no number is published by the reference;
-README "Evaluation: to be released"), so baseline = 10 images/min.
+estimate for this pipeline (derived in BASELINE.md §"A100 baseline
+derivation" from the reference's per-image FLOP count at realistic A100
+MFU; the reference publishes no number — README "Evaluation: to be
+released"), so baseline = 10 images/min.
+
+Process model (VERDICT r4 #1): the default invocation is an ORCHESTRATOR
+that runs every workload in its own subprocess (``--solo`` children), so
+one workload's resident params/executables can never RESOURCE_EXHAUST the
+next (round 4's batch-4/512^2/train OOMs). Children run sequentially —
+overlapping TPU clients can wedge the remote-compile helper (NOTES.md).
+Secondaries are emitted BEFORE the headline so a last-JSON-line parse of
+the combined tail records the HEADLINE, not a secondary.
 
 ``--train`` instead measures training throughput (images/min/chip) of one
 jitted optimizer step at the reference training workload: 512^2, batch 1,
@@ -56,6 +66,34 @@ def _emit(result, secondary):
         print(json.dumps(result), file=sys.stderr)
     else:
         print(json.dumps(result))
+
+
+def _hbm_line(compiled, label):
+    """XLA's own peak-HBM estimate for a compiled program, plus headroom
+    vs the 15.75 GiB the v5e-lite allocator exposes (the figure its own
+    RESOURCE_EXHAUSTED dumps report). ``memory_stats()`` returns None on
+    the axon platform, so the compiler's memory_analysis IS the recorded
+    number — it is what the allocator must reserve, i.e. the OOM-relevant
+    quantity (VERDICT r4 #5)."""
+    try:
+        m = compiled.memory_analysis()
+        g = 2.0**30
+        peak = (
+            m.argument_size_in_bytes
+            + m.output_size_in_bytes
+            + m.temp_size_in_bytes
+            - m.alias_size_in_bytes
+        )
+        cap = 15.75 * g
+        return (
+            f"# hbm[{label}]: args={m.argument_size_in_bytes/g:.2f}G "
+            f"out={m.output_size_in_bytes/g:.2f}G "
+            f"temp={m.temp_size_in_bytes/g:.2f}G "
+            f"alias={m.alias_size_in_bytes/g:.2f}G "
+            f"peak~{peak/g:.2f}G headroom~{(cap-peak)/g:.2f}G of 15.75G"
+        )
+    except Exception as e:  # pragma: no cover - platform-dependent
+        return f"# hbm[{label}]: unavailable ({e!r})"
 
 
 def _force(t):
@@ -196,9 +234,10 @@ def bench_sample(args, secondary=False):
     _force(c2["crossattn"])
     t_cond = time.time() - t0
 
-    # the shipped program: Engine.sample + VAE decode, one jit (cli/sample.py)
-    @jax.jit
-    def sample_jit(params, references, cams, c, uc, key):
+    # the shipped program: Engine.sample + VAE decode, one jit (cli/sample.py).
+    # AOT-compiled (lower().compile()) so XLA's memory_analysis of the very
+    # executable we time lands in the artifact as the HBM headroom record.
+    def sample_fn(params, references, cams, c, uc, key):
         z = eng.sample(
             params, c, uc, guider, key,
             shape=(b, latent, latent, 4),
@@ -206,10 +245,23 @@ def bench_sample(args, secondary=False):
             references=references,
             choices=choices,
             num_steps=args.steps,
+            # cams above are one pose broadcast over all copies (the CLI
+            # layout) — licenses the x3 render dedupe
+            shared_target_cams=True,
         )
         return eng.decode_first_stage(params, z.astype(dtype))
 
     t0 = time.time()
+    sample_jit = jax.jit(sample_fn).lower(
+        params, references, cams, c, uc, jax.random.PRNGKey(4)
+    ).compile()
+    # print the memory record BEFORE the first execution: a run-time OOM
+    # must still leave XLA's peak-HBM estimate in the artifact tail
+    print(
+        _hbm_line(sample_jit, f"sample {8*latent}^2 b{b} {glabel.split()[0]}"),
+        file=sys.stderr,
+    )
+    sys.stderr.flush()
     img = sample_jit(params, references, cams, c, uc, jax.random.PRNGKey(4))
     _force(img)
     compile_sample = time.time() - t0
@@ -304,8 +356,12 @@ def bench_train(args, secondary=False):
         "target_size_ref": jnp.full((b * n, 2), float(s)),
     }
 
-    step_jit = jax.jit(trainer.train_step, donate_argnums=(0,))
     t0 = time.time()
+    step_jit = jax.jit(trainer.train_step, donate_argnums=(0,)).lower(
+        state, batch, jax.random.PRNGKey(1)
+    ).compile()
+    print(_hbm_line(step_jit, f"train {s}^2 b{b}"), file=sys.stderr)
+    sys.stderr.flush()
     state2, metrics = step_jit(state, batch, jax.random.PRNGKey(1))
     _force(metrics["loss"])
     compile_t = time.time() - t0
@@ -411,8 +467,44 @@ def _bench_train_real_loader(args, trainer, state, secondary):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def _orchestrate(args, extra_argv):
+    """Run every workload in its own subprocess so one bench's resident
+    HBM (params + executables) can never OOM the next (round 4's
+    batch-4/512^2/train RESOURCE_EXHAUSTED), and order them SECONDARIES
+    FIRST, HEADLINE LAST: the driver records the last JSON line of the
+    combined tail as the round's metric, and that must be the headline
+    (VERDICT r4 weak #2). Children run sequentially — two live TPU client
+    processes can wedge the remote-compile helper (NOTES.md landmines)."""
+    import subprocess
+
+    me = os.path.abspath(__file__)
+    jobs = []  # (label, extra child argv)
+    if not args.no_secondary and os.environ.get("CD360_BENCH_SECONDARY") != "0":
+        jobs += [
+            ("CFGx3", ["--scale_im", "3.5", "--as_secondary"]),
+            ("batch-4", ["--batch", "4", "--as_secondary"]),
+            ("512^2", ["--latent", "64", "--as_secondary"]),
+            ("train", ["--train", "--as_secondary"]),
+        ]
+    jobs.append(("headline", []))
+
+    rc_final = 0
+    for label, extra in jobs:
+        cmd = [sys.executable, me, "--solo"] + extra_argv + extra
+        try:
+            rc = subprocess.run(cmd, timeout=3600).returncode
+        except subprocess.TimeoutExpired:
+            rc = -1
+            print(f"# {label} bench timed out (3600s)", file=sys.stderr)
+        if rc != 0:
+            print(f"# {label} bench failed (rc={rc})", file=sys.stderr)
+            if label == "headline":
+                rc_final = rc
+        sys.stderr.flush()
+    sys.exit(rc_final)
+
+
 def main():
-    _enable_compile_cache()
     ap = argparse.ArgumentParser()
     ap.add_argument("--latent", type=int, default=128,
                     help="latent side (128 = 1024^2 image)")
@@ -435,43 +527,29 @@ def main():
                     "DataLoader (synthetic on-disk JPEGs) instead of a "
                     "prebuilt device batch")
     ap.add_argument("--no_secondary", action="store_true",
-                    help="headline record only (skip 512^2 + train lines)")
+                    help="headline record only (skip the secondary "
+                    "CFGx3/batch-4/512^2/train subprocesses)")
+    ap.add_argument("--solo", action="store_true",
+                    help="run exactly the workload these flags select in "
+                    "THIS process (orchestrator-child mode)")
+    ap.add_argument("--as_secondary", action="store_true",
+                    help='with --solo: tag the record {"secondary": true} '
+                    "and emit it on stderr")
     args = ap.parse_args()
 
-    if args.train:
-        bench_train(args)
+    if args.train:  # single-workload train invocation, no orchestration
+        _enable_compile_cache()
+        bench_train(args, secondary=args.as_secondary)
         return
-    bench_sample(args)
-    # Secondary records (VERDICT r2): the reference's OWN 512^2 sampling
-    # workload and the training-step throughput, as driver-tail JSON so the
-    # favorable numbers are artifacts, not NOTES claims. Best-effort: any
-    # failure here must not corrupt the already-printed headline.
-    if args.no_secondary or os.environ.get("CD360_BENCH_SECONDARY") == "0":
+    if not args.solo:
+        # Orchestrator: forward the user's workload flags to each child
+        # (the child-specific overrides are appended after, so they win).
+        passthrough = [a for a in sys.argv[1:] if a != "--no_secondary"]
+        _orchestrate(args, passthrough)
         return
-    import copy
 
-    try:
-        a2 = copy.copy(args)
-        a2.scale_im = 3.5  # reference sample.py's default workload (x3)
-        bench_sample(a2, secondary=True)
-    except Exception as e:  # pragma: no cover
-        print(f"# secondary CFGx3 bench failed: {e!r}", file=sys.stderr)
-    try:
-        a2 = copy.copy(args)
-        a2.batch = 4  # serving record: amortizes render + per-call overhead
-        bench_sample(a2, secondary=True)
-    except Exception as e:  # pragma: no cover
-        print(f"# secondary batch-4 bench failed: {e!r}", file=sys.stderr)
-    try:
-        a2 = copy.copy(args)
-        a2.latent = 64  # 512^2 — the resolution reference sample.py uses
-        bench_sample(a2, secondary=True)
-    except Exception as e:  # pragma: no cover
-        print(f"# secondary 512^2 bench failed: {e!r}", file=sys.stderr)
-    try:
-        bench_train(copy.copy(args), secondary=True)
-    except Exception as e:  # pragma: no cover
-        print(f"# secondary train bench failed: {e!r}", file=sys.stderr)
+    _enable_compile_cache()
+    bench_sample(args, secondary=args.as_secondary)
 
 
 if __name__ == "__main__":

@@ -228,7 +228,19 @@ def encode_first_stage(params, x, key=None, cfg: VAEConfig = VAEConfig(), sample
 
 
 def decode_first_stage(params, z, cfg: VAEConfig = VAEConfig()):
-    return vae_decode(params, z / cfg.scale_factor, cfg)
+    """Latents -> images. For b > 1 the rows decode through a lax.map so
+    only ONE image's decoder activations are live at a time: the decoder's
+    large-spatial feature maps (~2 GB/image peak at 1024^2) scale linearly
+    with batch and are what pushed batch-4 1024^2 serving past the chip's
+    HBM (BENCH_r05 batch-4 memory record); per-image decode costs nothing —
+    the conv emitters at these extents gain ~nothing from batching
+    (vae_bench, NOTES round-3)."""
+    z = z / cfg.scale_factor
+    if z.shape[0] == 1:
+        return vae_decode(params, z, cfg)
+    return jax.lax.map(
+        lambda zi: vae_decode(params, zi[None], cfg)[0], z
+    )
 
 
 def autoencoding_engine_encode(
