@@ -52,6 +52,9 @@ def main():
                     "cached denoiser step (default), the NeRF render+step-0, "
                     "or the VAE decode")
     ap.add_argument("--latent", type=int, default=128)
+    ap.add_argument("--copies", type=int, default=2, choices=(2, 3),
+                    help="CFG guider copies: 2 = headline, 3 = reference "
+                    "CLI default (ScheduledCFGImgTextRef)")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--nref", type=int, default=8)
     ap.add_argument("--iters", type=int, default=10)
@@ -108,7 +111,7 @@ def main():
         # rendered features are per CFG-batch row (view axis collapsed by
         # the volume render) — same shape step_bench synthesizes
         caches.setdefault(attn_id, {})[d] = jnp.zeros(
-            (2 * b, hw, ch), jnp.float32
+            (args.copies * b, hw, ch), jnp.float32
         )
 
     def make_cams(n, seed):
@@ -124,8 +127,17 @@ def main():
         return Cameras.create(Rm, T, focal_length=2.0, principal_point=0.0)
 
     cams_one = make_cams((1 + n_ref) * b, 1).reshape(b, 1 + n_ref)
-    cams = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), cams_one)
-    guider = vanilla_cfg_img_ref(scale=7.5)
+    cams = jax.tree.map(
+        lambda x: jnp.concatenate([x] * args.copies, axis=0), cams_one
+    )
+    if args.copies == 3:
+        from custom_diffusion360_tpu.diffusion.guiders import (
+            scheduled_cfg_img_text_ref,
+        )
+
+        guider = scheduled_cfg_img_text_ref(scale=7.5, scale_im=3.5)
+    else:
+        guider = vanilla_cfg_img_ref(scale=7.5)
     den = Denoiser(DenoiserConfig())
     sigmas = legacy_ddpm_sigmas(args.steps)
     cond = {
@@ -247,7 +259,7 @@ def main():
             buf = rng.normal(size=(n_ref + 1, hw, ch)).astype(np.float32)
             refs.setdefault(attn_id, {})[d] = CompactRefTokens(
                 jnp.asarray(buf[-1] * 0.05), jnp.asarray(buf[:-1] * 0.05),
-                b, 2,
+                b, args.copies, shared_cams=True,
             )
 
         def render_step(params, refs, x, sigma):

@@ -49,6 +49,9 @@ def main():
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--nref", type=int, default=8)
     ap.add_argument("--batch", type=int, default=1)
+    ap.add_argument("--copies", type=int, default=2, choices=(2, 3),
+                    help="CFG guider copies: 2 = VanillaCFGImgRef headline, "
+                    "3 = ScheduledCFGImgTextRef (reference CLI default)")
     ap.add_argument("--dtype", default="bfloat16")
     ap.add_argument("--nerf_chunk", type=int, default=1024,
                     help="FeatureNeRF ray-chunk size (memory/speed knob; "
@@ -126,8 +129,9 @@ def main():
         if getattr(args, "dense_refs", False):
             # the pre-CompactRefTokens layout: eager per-CFG-copy buffers
             refs.setdefault(attn_id, {})[d] = jnp.asarray(
-                rng.normal(size=(2 * b, n_ref, hw, ch)).astype(np.float32)
-                * 0.05
+                rng.normal(
+                    size=(args.copies * b, n_ref, hw, ch)
+                ).astype(np.float32) * 0.05
             )
         else:
             # the shipped engine.build_ref_features(compact=True) form
@@ -135,7 +139,7 @@ def main():
             refs.setdefault(attn_id, {})[d] = CompactRefTokens(
                 jnp.asarray(buf[-1] * 0.05),
                 jnp.asarray(buf[:-1] * 0.05),
-                b, 2,
+                b, args.copies, shared_cams=True,
             )
 
     def make_cams(n, seed):
@@ -151,9 +155,18 @@ def main():
     # CFG-replicated cameras, as every shipped caller builds them
     # (engine/cli replicate the target pose per guider copy)
     cams_one = make_cams((1 + n_ref) * b, 1).reshape(b, 1 + n_ref)
-    cams = jax.tree.map(lambda x: jnp.concatenate([x, x], axis=0), cams_one)
+    cams = jax.tree.map(
+        lambda x: jnp.concatenate([x] * args.copies, axis=0), cams_one
+    )
 
-    guider = vanilla_cfg_img_ref(scale=7.5)
+    if args.copies == 3:
+        from custom_diffusion360_tpu.diffusion.guiders import (
+            scheduled_cfg_img_text_ref,
+        )
+
+        guider = scheduled_cfg_img_text_ref(scale=7.5, scale_im=3.5)
+    else:
+        guider = vanilla_cfg_img_ref(scale=7.5)
     den = Denoiser(DenoiserConfig())
     sigmas = legacy_ddpm_sigmas(args.steps)
     ctx = jnp.zeros((b, 77, 2048), dtype)

@@ -263,6 +263,9 @@ def main(argv=None):
             num_steps=args.num_steps,
             cfg_sharding=cfg_sharding,
             sampler=args.sampler,
+            # cams below are built by tiling the b-row block per CFG copy,
+            # so the x3 render dedupe is licensed (Engine.sample docstring)
+            shared_target_cams=True,
         )
         return eng.decode_first_stage(params, z.astype(dtype))
 

@@ -197,7 +197,7 @@ class Engine:
 
     def build_ref_features(
         self, references, choices, batch_size, num_copies, compact=True,
-        ref_sharding=None,
+        ref_sharding=None, shared_cams=False,
     ):
         """Assemble per-block reference-token structures from delta-
         checkpoint buffers, replicating the reference CFG layouts
@@ -227,7 +227,8 @@ class Engine:
                 chosen = jnp.take(buf[:-1], jnp.asarray(choices), axis=0)  # (n,hw,C)
                 if compact:
                     out[attn_id][d] = CompactRefTokens(
-                        buf[-1], chosen, b, num_copies, sharding=ref_sharding
+                        buf[-1], chosen, b, num_copies, sharding=ref_sharding,
+                        shared_cams=shared_cams,
                     )
                     continue
                 n = chosen.shape[0]
@@ -265,8 +266,19 @@ class Engine:
         ref_sharding=None,
         sampler: Optional[str] = None,
         noise=None,
+        shared_target_cams: bool = False,
     ):
         """Pose-conditioned sampling -> latents (B, h, w, 4).
+
+        shared_target_cams: declare that every guider copy carries the SAME
+        target camera rows (i.e. ``cams`` was built by tiling the per-image
+        pose over ``guider.num_copies`` — what cli/sample.py and the
+        reference's sample.py always do; CFG copies differ in conditioning,
+        never in pose). Licenses the x3 render dedupe: copies 1/2 of the
+        ScheduledCFGImgTextRef layout share their reference planes too, so
+        the NeRF encode runs on 2 unique copies instead of 3
+        (transformer._reference_attn, CD360_CFG3_DEDUPE). Leave False if
+        you pass genuinely per-copy cameras.
 
         sampler: diffusion.SAMPLERS key overriding cfg.sampler_name
         (euler_edm / heun_edm / euler_ancestral / dpmpp2s_ancestral /
@@ -327,6 +339,7 @@ class Engine:
             ref_features = self.build_ref_features(
                 references, choices, b, guider.num_copies,
                 compact=mask_ref is None, ref_sharding=ref_sharding,
+                shared_cams=shared_target_cams,
             )
 
         def make_denoise(nerf_caches, collect_rendered):

@@ -289,15 +289,22 @@ class CompactRefTokens:
     UNet layers is needed.
     """
 
-    def __init__(self, zero, chosen, batch: int, copies: int, sharding=None):
+    def __init__(self, zero, chosen, batch: int, copies: int, sharding=None,
+                 shared_cams: bool = False):
         self.zero = zero
         self.chosen = chosen
         self.batch = int(batch)
         self.copies = int(copies)
         self.sharding = sharding
+        # caller's declaration that every CFG copy carries the SAME target
+        # camera rows (engine.sample shared_target_cams) — the licence for
+        # the x3 render dedupe in transformer._reference_attn
+        self.shared_cams = bool(shared_cams)
 
     def tree_flatten(self):
-        return (self.zero, self.chosen), (self.batch, self.copies, self.sharding)
+        return (self.zero, self.chosen), (
+            self.batch, self.copies, self.sharding, self.shared_cams
+        )
 
     @classmethod
     def tree_unflatten(cls, aux, leaves):

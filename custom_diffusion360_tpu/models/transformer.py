@@ -17,6 +17,7 @@ over.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Optional
 
 import jax
@@ -25,7 +26,13 @@ import jax.numpy as jnp
 from ..geometry.cameras import Cameras
 from ..ops.attention import dot_product_attention, dot_product_attention_qkv
 from ..ops.volume_render import volume_render
-from .nerf import NerfConfig, from_chunked, init_nerf_params, nerfsd_apply
+from .nerf import (
+    CompactRefTokens,
+    NerfConfig,
+    from_chunked,
+    init_nerf_params,
+    nerfsd_apply,
+)
 from .nn import (
     gelu,
     group_norm,
@@ -270,6 +277,19 @@ def init_transformer_block(key, cfg: TransformerConfig, d: int):
     return p
 
 
+def _slice_copy_rows(nerf_out, lo, hi):
+    """Batch-row slice [lo:hi) of a nerfsd result dict. Batch is axis 0 in
+    the dense (B, hw, S, *) layout, axis 1 in the chunked
+    (nc, B, chunk, S, *) scan-native layout."""
+    axis = 1 if nerf_out.get("chunked") else 0
+
+    def sl(t):
+        return None if t is None else jax.lax.slice_in_dim(t, lo, hi, axis=axis)
+
+    return {k: (v if k in ("chunked", "attn") else sl(v))
+            for k, v in nerf_out.items()}
+
+
 def _reference_attn(
     p, cams, context_ref, context, prev_weights, mask_ref, cfg: TransformerConfig,
     d: int, key, training: bool,
@@ -278,7 +298,40 @@ def _reference_attn(
 
     Reference: BasicTransformerBlock.reference_attn (attention.py:571-598).
     Returns (rendered (B, hw, C), fg_mask, prev_weights, alphas, rgb).
+
+    CFG x3 render dedupe (CD360_CFG3_DEDUPE, default on): the x3 guider's
+    row layout is [uncond | image | image+text] (guiders.py:102-133
+    semantics) — copies 1 and 2 carry IDENTICAL reference planes, and when
+    the caller declares the target camera replicated across copies
+    (engine.sample shared_target_cams -> CompactRefTokens.shared_cams; what
+    cli/sample.py and reference sample.py always do), the only
+    row-dependent input to the NeRF encode is the reference planes. Copies
+    1/2 are then identical through the whole ray-march + encode, so the
+    render runs on the 2 UNIQUE copies and outputs expand just before the
+    first row-divergent op (the per-point TEXT attention, whose context
+    differs between copies 1/2). Applied only on the structurally safe
+    path: compact delta-buffer tokens (which guarantee the plane identity
+    by construction), declared shared cams, inference, no per-row masks,
+    no view-sharding.
     """
+    dd_b = 0
+    if (
+        isinstance(context_ref, CompactRefTokens)
+        and context_ref.copies == 3
+        and context_ref.shared_cams
+        and context_ref.sharding is None
+        and mask_ref is None
+        and not training
+        and os.environ.get("CD360_CFG3_DEDUPE", "1") != "0"
+    ):
+        dd_b = context_ref.batch
+        bu = 2 * dd_b
+        context_ref = CompactRefTokens(
+            context_ref.zero, context_ref.chosen, dd_b, 2
+        )
+        cams = jax.tree.map(lambda t: t[:bu], cams)
+        if prev_weights is not None:
+            prev_weights = prev_weights[:bu]
     nerf_out = nerfsd_apply(
         p["pose_featurenerf"],
         cams,
@@ -290,74 +343,110 @@ def _reference_attn(
         prev_weights=prev_weights if cfg.use_prev_weights_imp_sample else None,
         imp_sample_next_step=cfg.block_imp_sample_next(d),
     )
-    feats = nerf_out["features"]  # (B, hw, S, C) f32 — or chunked layout
-    nc = nerf_out.get("chunked")
     cdt = cfg.nerf.cdtype  # f32 reproduces the reference island exactly
-    if nc and context is None:
-        # Self-attention is NOT ray-order-invariant across chunks; fold the
-        # chunked layout back to (B, hw, S, C) and take the default path.
-        _, b, chunk_hw, s, c = feats.shape
-        feats = jnp.moveaxis(feats, 0, 1).reshape(b, nc * chunk_hw, s, c)
-        nc = None
-    if nc:
-        # scan-native (nc, B, chunk, S, C): the per-point text attention is
-        # ray-order-invariant, so run it as batch nc*B and transpose only
-        # the rendered (S-collapsed) outputs below. The context k/v are
-        # projected ONCE and tiled over the nc chunk copies.
-        _, b, chunk_hw, s, c = feats.shape
-        pre = feats.shape[:3]
-        feats = feats.reshape(nc * b, chunk_hw * s, c)
-        ctx = None
-        kv = tuple(
-            jnp.broadcast_to(t[None], (nc,) + t.shape).reshape(
-                (nc * t.shape[0],) + t.shape[1:]
+
+    def finish(nout, context):
+        """Per-point text cross-attention + volume render of a nerfsd
+        result; returns DENSE (batch-major, S-collapsed) outputs."""
+        feats = nout["features"]  # (B, hw, S, C) f32 — or chunked layout
+        nc = nout.get("chunked")
+        if nc and context is None:
+            # Self-attention is NOT ray-order-invariant across chunks; fold
+            # the chunked layout back to (B, hw, S, C), take default path.
+            _, b, chunk_hw, s, c = feats.shape
+            feats = jnp.moveaxis(feats, 0, 1).reshape(b, nc * chunk_hw, s, c)
+            nc = None
+            nout = dict(nout, chunked=None)
+        if nc:
+            # scan-native (nc, B, chunk, S, C): the per-point text attention
+            # is ray-order-invariant, so run it as batch nc*B and transpose
+            # only the rendered (S-collapsed) outputs below. The context k/v
+            # are projected ONCE and tiled over the nc chunk copies.
+            _, b, chunk_hw, s, c = feats.shape
+            pre = feats.shape[:3]
+            feats = feats.reshape(nc * b, chunk_hw * s, c)
+            ctx = None
+            kv = tuple(
+                jnp.broadcast_to(t[None], (nc,) + t.shape).reshape(
+                    (nc * t.shape[0],) + t.shape[1:]
+                )
+                for t in context_kv(p["attn2"], context.astype(cdt))
             )
-            for t in context_kv(p["attn2"], context.astype(cdt))
+        else:
+            b, hw, s, c = feats.shape
+            pre = (b, hw)
+            feats = feats.reshape(b, hw * s, c)
+            ctx = None if context is None else context.astype(cdt)
+            kv = None
+        feats = feats + cross_attention_apply(
+            p["attn2"],
+            layer_norm(p["norm2"], feats.astype(cdt)),
+            ctx,
+            n_heads=cfg.n_heads,
+            kv=kv,
+        ).astype(jnp.float32)
+        feats = feats.reshape(pre + (s, c))
+
+        sigma = trunc_exp(nout["sigma"])
+        sigma_uniform = (
+            trunc_exp(nout["sigma_uniform"])
+            if nout["sigma_uniform"] is not None
+            else None
+        )
+        rgb = jax.nn.sigmoid(nout["rgb"]) if nout["rgb"] is not None else None
+        rendered = volume_render(
+            feats,
+            sigma,
+            nout["dists"],
+            rgb=rgb,
+            densities_uniform=sigma_uniform,
+            dists_uniform=nout["dists_uniform"],
+        )
+        new_prev = (
+            rendered["weights_uniform"]
+            if cfg.use_prev_weights_imp_sample else None
+        )
+        out_feats = rendered["feats"]
+        fg_mask, alphas = rendered["fg_mask"], rendered["alphas"]
+        rgb_out = rendered["rgb"]
+        if nc:
+            out_feats = from_chunked(out_feats)
+            fg_mask = from_chunked(fg_mask)
+            alphas = from_chunked(alphas)
+            if rgb_out is not None:
+                rgb_out = from_chunked(rgb_out)
+            if new_prev is not None:
+                new_prev = from_chunked(new_prev)
+        return (out_feats, fg_mask, new_prev, alphas, rgb_out)
+
+    if not dd_b:
+        return finish(nerf_out, context)
+
+    # x3 dedupe epilogue: nerf_out has the 2 UNIQUE copies [zero | chosen].
+    # Copy 2 differs from copy 1 ONLY in its text context (c vs uc), which
+    # first matters at the per-point attention — so attend+render the
+    # unique rows under the shared uc context (rows 0,1), attend+render the
+    # chosen rows AGAIN under the c context (row 2), and concatenate the
+    # S-COLLAPSED outputs. Nothing (B, hw, S, C)-sized is ever expanded
+    # (the eager 2b->3b expansion measured +4 G temp and OOMed the x3
+    # sample — BENCH r5 session).
+    b = dd_b
+    out_a = finish(nerf_out, None if context is None else context[: 2 * b])
+    if context is None:
+        out_b = tuple(
+            None if t is None else t[b: 2 * b] for t in out_a
         )
     else:
-        b, hw, s, c = feats.shape
-        pre = (b, hw)
-        feats = feats.reshape(b, hw * s, c)
-        ctx = None if context is None else context.astype(cdt)
-        kv = None
-    feats = feats + cross_attention_apply(
-        p["attn2"],
-        layer_norm(p["norm2"], feats.astype(cdt)),
-        ctx,
-        n_heads=cfg.n_heads,
-        kv=kv,
-    ).astype(jnp.float32)
-    feats = feats.reshape(pre + (s, c))
+        out_b = finish(
+            _slice_copy_rows(nerf_out, b, 2 * b), context[2 * b:]
+        )
 
-    sigma = trunc_exp(nerf_out["sigma"])
-    sigma_uniform = (
-        trunc_exp(nerf_out["sigma_uniform"])
-        if nerf_out["sigma_uniform"] is not None
-        else None
-    )
-    rgb = jax.nn.sigmoid(nerf_out["rgb"]) if nerf_out["rgb"] is not None else None
-    rendered = volume_render(
-        feats,
-        sigma,
-        nerf_out["dists"],
-        rgb=rgb,
-        densities_uniform=sigma_uniform,
-        dists_uniform=nerf_out["dists_uniform"],
-    )
-    new_prev = (
-        rendered["weights_uniform"] if cfg.use_prev_weights_imp_sample else None
-    )
-    out_feats = rendered["feats"]
-    fg_mask, alphas, rgb_out = rendered["fg_mask"], rendered["alphas"], rendered["rgb"]
-    if nc:
-        out_feats = from_chunked(out_feats)
-        fg_mask = from_chunked(fg_mask)
-        alphas = from_chunked(alphas)
-        if rgb_out is not None:
-            rgb_out = from_chunked(rgb_out)
-        if new_prev is not None:
-            new_prev = from_chunked(new_prev)
-    return (out_feats, fg_mask, new_prev, alphas, rgb_out)
+    def cat(ta, tb):
+        if ta is None:
+            return None
+        return jnp.concatenate([ta, tb], axis=0)
+
+    return tuple(cat(ta, tb) for ta, tb in zip(out_a, out_b))
 
 
 def transformer_block_apply(

@@ -230,6 +230,87 @@ class TestSampling:
                 np.asarray(out_compact), np.asarray(out_dense), atol=1e-5
             )
 
+    def test_cfg3_render_dedupe_matches_full(
+        self, engine_and_params, monkeypatch
+    ):
+        """The x3 render dedupe (copies 1/2 share reference planes AND the
+        caller-declared shared target cams, so the NeRF encode runs on 2
+        unique copies — transformer._reference_attn) must be numerically
+        identical to the full 3-copy render. Rays are deterministic at
+        eval, so equality is exact up to reduction order."""
+        eng, params = engine_and_params
+        guider = scheduled_cfg_img_text_ref(scale=5.0, scale_im=2.0)
+        # one B-row camera block tiled over the 3 copies — the CLI layout
+        block = random_cameras((1 + N) * B, seed=4).reshape(B, 1 + N)
+        cams = jax.tree.map(
+            lambda x: jnp.concatenate([x] * 3, axis=0), block
+        )
+
+        def run():
+            return eng.sample(
+                params, self._cond(3), self._cond(3), guider,
+                jax.random.PRNGKey(5),
+                shape=(B, 8, 8, 4), cams=cams, references=self._references(),
+                choices=np.arange(N), num_steps=3,
+                shared_target_cams=True,
+            )
+
+        monkeypatch.setenv("CD360_CFG3_DEDUPE", "0")
+        out_full = run()
+        monkeypatch.setenv("CD360_CFG3_DEDUPE", "1")
+        out_dedupe = run()
+        np.testing.assert_allclose(
+            np.asarray(out_dedupe), np.asarray(out_full), atol=1e-5
+        )
+
+    def test_cfg3_render_dedupe_matches_full_chunked(self, monkeypatch):
+        """Same equivalence through the ray-chunk scan + scan-native
+        chunked output layout (CD360_CHUNKED_RENDER=1), which expands the
+        deduped rows on axis 1 of the (nc, B, chunk, S, *) layout."""
+        import dataclasses as dc
+
+        cfg = dc.replace(
+            TINY_CFG, unet=dc.replace(TINY_CFG.unet, nerf_chunk_size=8)
+        )
+        eng = Engine(cfg)
+        params = eng.init_params(jax.random.PRNGKey(0))
+        guider = scheduled_cfg_img_text_ref(scale=5.0, scale_im=2.0)
+        block = random_cameras((1 + N) * B, seed=4).reshape(B, 1 + N)
+        cams = jax.tree.map(
+            lambda x: jnp.concatenate([x] * 3, axis=0), block
+        )
+        meta = __import__(
+            "custom_diffusion360_tpu.models.unet", fromlist=["attn_block_meta"]
+        ).attn_block_meta(cfg.unet)
+        rng = np.random.default_rng(3)
+        refs = {}
+        for _, _, attn_id, d in iter_pose_blocks(cfg.unet):
+            ds, ch, _ = meta[attn_id]
+            hw = (8 // ds) ** 2
+            refs.setdefault(attn_id, {})[d] = jnp.asarray(
+                rng.normal(size=(N + 1, hw, ch)).astype(np.float32) * 0.1
+            )
+
+        def run():
+            return eng.sample(
+                params, self._cond(3), self._cond(3), guider,
+                jax.random.PRNGKey(5),
+                shape=(B, 8, 8, 4), cams=cams, references=refs,
+                choices=np.arange(N), num_steps=2,
+                shared_target_cams=True,
+            )
+
+        from custom_diffusion360_tpu.models import nerf as nerf_mod
+
+        monkeypatch.setattr(nerf_mod, "_CHUNKED_OUT", True)
+        monkeypatch.setenv("CD360_CFG3_DEDUPE", "0")
+        out_full = run()
+        monkeypatch.setenv("CD360_CFG3_DEDUPE", "1")
+        out_dedupe = run()
+        np.testing.assert_allclose(
+            np.asarray(out_dedupe), np.asarray(out_full), atol=1e-5
+        )
+
     def test_ip2p_guider_path(self, engine_and_params):
         eng, params = engine_and_params
         guider = scheduled_cfg_img_text_ref(scale=5.0, scale_im=2.0)
