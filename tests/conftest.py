@@ -30,3 +30,37 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 from custom_diffusion360_tpu.utils.cache import setup_compile_cache  # noqa: E402
 
 setup_compile_cache(min_compile_secs=1.0)
+
+import pytest  # noqa: E402
+
+# Fast-lane marking (VERDICT r4 #6): `pytest -m "not slow"` must give a
+# green signal in <10 min on a 1-core box. Everything here is a
+# multi-10s end-to-end/parity compile whose AREA is still covered by
+# smaller tests in the fast lane; the full suite is unchanged. Names
+# (not nodeids) so parametrized variants are caught too. Durations from
+# the round-5 `--durations=60` run.
+_SLOW_TEST_NAMES = {
+    "test_step_updates_only_trainable",          # 300 s
+    "test_capture_view_sharded_matches",         # 124 s
+    "test_capture_shapes",                       # 35 s
+    "test_feeds_engine",                         # 94 s
+    "test_tp_sampling_matches_and_partitions",   # 77 s
+    "test_tp_training_loss_matches_replicated",  # 32 s
+    "test_lr_schedule_applies",                  # 76 s
+    "test_recon_and_samples",                    # 33 s
+    "test_inception_matches_independent_torch",  # 60 s setup + 12 s
+    "test_evaluate_cli_smoke",                   # 32 s
+    "test_evaluate_cli_fid_from_files",          # 28 s
+    "test_pose_block_parity",                    # 51 s
+    "test_compact_refs_match_dense",             # 49 s
+    "test_cfg3_render_dedupe_matches_full",      # 225 s
+    "test_cfg3_render_dedupe_matches_full_chunked",  # 90 s
+    "test_dp_sampling_over_mesh",                # 47 s
+    "test_unet_gradients_flow_only_through_target_stream",  # 29 s
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if item.name.split("[")[0] in _SLOW_TEST_NAMES:
+            item.add_marker(pytest.mark.slow)
