@@ -15,6 +15,7 @@ double_z.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import Any, Tuple
 
 import jax
@@ -49,6 +50,38 @@ class VAEConfig:
 # ---------------------------------------------------------------------------
 
 
+def _conv3(p, x):
+    """3x3 SAME conv with optional TPU implicit-GEMM dispatch
+    (CD360_VAE_CONV=pallas; default stays on XLA's emitters).
+
+    MEASURED SPLIT RESULT (v5e, round 5): per-conv STANDALONE the Pallas
+    kernel (ops/conv3x3.py) beats the emitter at every decoder shape by
+    21-31% (512^2 x 512ch: 9.75 vs 12.94 ms; 1024^2 x 256ch: 12.78 vs
+    18.61 — kernel at 97-127 TFLOPS vs the emitter's 39-96). IN-GRAPH the
+    full decode measured 158.9 ms vs 143.2 XLA (vae_bench A/B): the
+    kernel needs a jnp.pad per conv (~0.7 ms x ~18 convs of pure copy)
+    and un-fuses the GN/SiLU producers the emitters absorb into their
+    input read — integration overhead ~35 ms eats the ~20 ms of conv
+    wins. Removing it needs in-kernel padding via a padded-activation
+    calling convention through the decoder (~0.3% end-to-end for real
+    complexity — not taken; see MFU.md VAE ledger). Unsupported shapes
+    (tiny test configs, conv_in/out channel counts) fall back
+    automatically; the UNet's convs are not routed here — they already
+    run at their roofline (MFU.md step table)."""
+    from ..ops import conv3x3
+
+    if (
+        os.environ.get("CD360_VAE_CONV", "xla") == "pallas"
+        and (jax.devices()[0].platform == "tpu" or conv3x3._INTERPRET)
+        and conv3x3.conv3x3_supported(x, p["w"])
+    ):
+        y = conv3x3.conv3x3_gemm(x, p["w"])
+        if "b" in p:
+            y = y + p["b"].astype(y.dtype)
+        return y
+    return conv2d(p, x)
+
+
 def _gn_silu(p, x):
     return group_norm_silu(p, x, num_groups=min(32, x.shape[-1]))
 
@@ -73,8 +106,8 @@ def _init_res(key, in_ch, out_ch):
 
 
 def _res_apply(p, x):
-    h = conv2d(p["conv1"], _gn_silu(p["norm1"], x))
-    h = conv2d(p["conv2"], _gn_silu(p["norm2"], h))
+    h = _conv3(p["conv1"], _gn_silu(p["norm1"], x))
+    h = _conv3(p["conv2"], _gn_silu(p["norm2"], h))
     if "nin_shortcut" in p:
         x = conv2d(p["nin_shortcut"], x)
     return x + h
@@ -205,7 +238,7 @@ def vae_decode(params, z, cfg: VAEConfig = VAEConfig()):
         for bp in lvl["block"]:
             h = _res_apply(bp, h)
         if "upsample" in lvl:
-            h = conv2d(lvl["upsample"], upsample_nearest_2x(h))
+            h = _conv3(lvl["upsample"], upsample_nearest_2x(h))
     return conv2d(dec["conv_out"], _gn_silu(dec["norm_out"], h))
 
 

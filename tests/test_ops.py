@@ -294,3 +294,62 @@ class TestUpsampleConv2d:
             lambda t: jnp.sum(conv2d(p, upsample_nearest_2x(t)) ** 2)
         )(x)
         np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=2e-4)
+
+
+class TestConv3x3Gemm:
+    """Implicit-GEMM Pallas 3x3 conv (ops/conv3x3.py) — the VAE decoder
+    conv kernel. Interpret mode on CPU; the real-chip numbers and the
+    in-graph closed-negative are in MFU.md's VAE ledger."""
+
+    def _io(self, b=2, h=64, w=64, c=128, n=128):
+        rs = np.random.RandomState(0)
+        x = jnp.asarray(rs.randn(b, h, w, c).astype(np.float32))
+        wt = jnp.asarray(rs.randn(3, 3, c, n).astype(np.float32) * 0.05)
+        return x, wt
+
+    def test_matches_xla_conv(self, monkeypatch):
+        from custom_diffusion360_tpu.ops import conv3x3
+
+        monkeypatch.setattr(conv3x3, "_INTERPRET", True)
+        x, w = self._io()
+        assert conv3x3.conv3x3_supported(x, w)
+        got = conv3x3.conv3x3_gemm(x, w)
+        want = conv3x3._conv3x3_ref(x, w)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
+
+    def test_grads_match_xla_conv(self, monkeypatch):
+        from custom_diffusion360_tpu.ops import conv3x3
+
+        monkeypatch.setattr(conv3x3, "_INTERPRET", True)
+        x, w = self._io(b=1)
+        gx, gw = jax.grad(
+            lambda x, w: jnp.sum(conv3x3.conv3x3_gemm(x, w) ** 2),
+            argnums=(0, 1),
+        )(x, w)
+        rx, rw = jax.grad(
+            lambda x, w: jnp.sum(conv3x3._conv3x3_ref(x, w) ** 2),
+            argnums=(0, 1),
+        )(x, w)
+        np.testing.assert_allclose(np.asarray(gx), np.asarray(rx), atol=1e-3)
+        np.testing.assert_allclose(np.asarray(gw), np.asarray(rw), atol=1e-2)
+
+    def test_vae_dispatch_equivalence(self, monkeypatch):
+        """CD360_VAE_CONV=pallas must not change the decode result."""
+        from custom_diffusion360_tpu.models.vae import (
+            VAEConfig, decode_first_stage, init_vae_params,
+        )
+        from custom_diffusion360_tpu.ops import conv3x3
+
+        cfg = VAEConfig(ch=128, ch_mult=(1, 1), num_res_blocks=1)
+        p = init_vae_params(jax.random.PRNGKey(0), cfg)
+        z = jax.random.normal(jax.random.PRNGKey(1), (1, 32, 32, 4)) * 0.3
+        monkeypatch.setenv("CD360_VAE_CONV", "xla")
+        want = decode_first_stage(p, z, cfg)
+        monkeypatch.setattr(conv3x3, "_INTERPRET", True)
+        monkeypatch.setenv("CD360_VAE_CONV", "pallas")
+        got = decode_first_stage(p, z, cfg)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), atol=1e-4
+        )
