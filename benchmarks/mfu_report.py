@@ -52,6 +52,9 @@ def main():
                     "cached denoiser step (default), the NeRF render+step-0, "
                     "or the VAE decode")
     ap.add_argument("--latent", type=int, default=128)
+    ap.add_argument("--nerf_chunk", type=int, default=4096,
+                    help="ray-chunk size (4096 = the shipped unchunked "
+                    "inference default, round 5)")
     ap.add_argument("--copies", type=int, default=2, choices=(2, 3),
                     help="CFG guider copies: 2 = headline, 3 = reference "
                     "CLI default (ScheduledCFGImgTextRef)")
@@ -97,7 +100,7 @@ def main():
 
     b, n_ref, latent = 1, args.nref, args.latent
     dtype = jnp.bfloat16
-    cfg = UNetConfig(nerf_dtype="bfloat16", nerf_chunk_size=1024)
+    cfg = UNetConfig(nerf_dtype="bfloat16", nerf_chunk_size=args.nerf_chunk)
     params = fast_random_params(
         lambda k: init_unet_params(k, cfg), jax.random.PRNGKey(0), dtype
     )

@@ -215,7 +215,7 @@ def main():
         # skip the render-step compile: synthesize caches (same shape/dtype
         # as rendered feats). --cached_only times just the cached step.
         caches = {
-            aid: {d: jnp.zeros((2 * b,) + r.shape[2:], jnp.float32)
+            aid: {d: jnp.zeros((args.copies * b,) + r.shape[2:], jnp.float32)
                   for d, r in blocks.items()}
             for aid, blocks in refs.items()
         }

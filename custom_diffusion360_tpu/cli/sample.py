@@ -51,9 +51,11 @@ def build_parser():
     p.add_argument("--vocab_dir", default=None,
                    help="dir with vocab.json+merges.txt (HF) and/or bpe_simple_vocab_16e6.txt.gz")
     p.add_argument("--dtype", default="bfloat16")
-    p.add_argument("--nerf_chunk", type=int, default=1024,
-                   help="FeatureNeRF ray-chunk size (1024 measured fastest "
-                        "for forward-only sampling; training uses 512)")
+    p.add_argument("--nerf_chunk", type=int, default=4096,
+                   help="FeatureNeRF ray-chunk size (4096 = unchunked at "
+                        "the shipped hw extents, fastest measured render; "
+                        "b>1 row-scales via chunk_rows_ref; training "
+                        "uses 512)")
     p.add_argument("--translate", choices=["x", "y", "z", "focal"], default=None)
     p.add_argument("--interp_start", type=float, default=-0.3)
     p.add_argument("--interp_end", type=float, default=0.3)

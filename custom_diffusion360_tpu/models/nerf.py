@@ -677,6 +677,29 @@ def nerf_encoding_split(
 _CHUNKED_OUT = os.environ.get("CD360_CHUNKED_RENDER", "") == "1"
 
 
+def effective_chunk(chunk: int, rows: int, chunk_rows_ref: int, hw: int) -> int:
+    """Batch-scaled ray-chunk size, rounded DOWN to a power of two.
+
+    chunk_size is tuned for ``chunk_rows_ref`` batch rows; more rows scale
+    the chunk down proportionally (floor 128) so the per-chunk working set
+    stays at the tuned level (the b=4 1024^2 OOM fix). The power-of-two
+    rounding matters: ``hw`` is always a power of two here, and the old
+    halve-until-divides loop sent any non-pow2 scaled chunk (e.g. the x3
+    guider's rows=3 -> 1024*2//3 = 682) cascading to chunk=2 — a
+    2048-step scan that made the x3 render 2.6x the x2 render instead of
+    ~1.6x (round-5 A/B: 2061 ms pathological vs 1269 fixed vs 791 at x2;
+    the x3 render dedupe then takes it to 897).
+    """
+    if not chunk:
+        return 0
+    if chunk_rows_ref and rows > chunk_rows_ref:
+        chunk = max(128, chunk * chunk_rows_ref // rows)
+    chunk = 1 << (chunk.bit_length() - 1)  # round down to a power of two
+    while hw % chunk:  # hw not pow2 (non-square crops): old fallback
+        chunk //= 2
+    return chunk
+
+
 def _to_chunked(x, nc):
     """(B, hw, ...) -> (nc, B, hw//nc, ...). Small per-ray tensors only."""
     b, hw = x.shape[:2]
@@ -749,18 +772,14 @@ def nerfsd_apply(
 
     def encode(points, sigma_only=False):
         hw = points.shape[1]
-        chunk = cfg.chunk_size
-        rows = points.shape[0]
-        if chunk and cfg.chunk_rows_ref and rows > cfg.chunk_rows_ref:
-            # keep rows*chunk (the working-set driver) at the tuned level
-            chunk = max(128, chunk * cfg.chunk_rows_ref // rows)
+        chunk = effective_chunk(
+            cfg.chunk_size, points.shape[0], cfg.chunk_rows_ref, hw
+        )
         if not chunk or hw <= chunk:
             return nerf_encoding_split(
                 params, cams, proj, geo_ray, logit_ray, points, cfg,
                 sigma_only=sigma_only,
             ) + (None,)
-        while hw % chunk:
-            chunk //= 2
         nc = hw // chunk
         b, _, s, _ = points.shape
         width = 1 if sigma_only else (

@@ -115,6 +115,27 @@ def test_chunk_rows_scaling_matches():
         )
 
 
+def test_effective_chunk_pow2_rounding():
+    """Non-pow2 scaled chunks must round DOWN to a power of two instead of
+    cascading through the halve-until-divides loop to chunk=2 (the x3
+    guider rows=3 pathology that made its render 2.6x the x2 render)."""
+    from custom_diffusion360_tpu.models.nerf import effective_chunk
+
+    # the x3 case: 1024 * 2 // 3 = 682 -> 512 (NOT 2)
+    assert effective_chunk(1024, 3, 2, 4096) == 512
+    # pow2 row counts keep exact scaling
+    assert effective_chunk(1024, 8, 2, 4096) == 256
+    # no scaling at/below the tuned row count
+    assert effective_chunk(1024, 2, 2, 4096) == 1024
+    assert effective_chunk(4096, 2, 2, 4096) == 4096
+    # floor 128 before rounding
+    assert effective_chunk(1024, 64, 2, 4096) == 128
+    # disabled chunking passes through
+    assert effective_chunk(0, 3, 2, 4096) == 0
+    # non-pow2 hw falls back to the divisor search
+    assert effective_chunk(512, 1, 2, 768) == 256
+
+
 def test_chunked_layout_matches_assembled():
     """chunked=True returns the scan-native (nc, B, chunk, S, *) layout;
     reassembling with from_chunked must reproduce the default layout."""
