@@ -153,9 +153,11 @@ def bench_sample(args, secondary=False):
     dtype = jnp.dtype(args.dtype)
     b, n_ref, latent = args.batch, args.nref, args.latent
     cfg = EngineConfig(
-        # chunk 1024 measured ~80 ms faster t_first than 512 at this
-        # inference workload (memory-safe forward-only; training keeps 512)
-        unet=UNetConfig(nerf_dtype=args.dtype, nerf_chunk_size=1024),
+        # chunk 4096 = unchunked at these hw extents; round-5 sweep under
+        # the fused one-hot layout: 771 ms render vs 791 at 1024 / 814 at
+        # 2048 (memory-safe forward-only; b>1 row-scales via
+        # chunk_rows_ref; training keeps 512)
+        unet=UNetConfig(nerf_dtype=args.dtype, nerf_chunk_size=4096),
         compute_dtype=args.dtype,
         num_sample_steps=args.steps,
     )
@@ -225,12 +227,19 @@ def bench_sample(args, secondary=False):
         )
 
     t0 = time.time()
-    c, uc = cond_jit(params["conditioner"], tokens)
+    # AOT (lower().compile()) like sample_fn below so the entry persists
+    # uniformly. NOTE the 90-250s this window measures in a fresh child is
+    # NOT the conditioner compile (cache-hit runs cost the same): it is the
+    # axon backend's one-time per-output-buffer setup for the fastinit
+    # `make` executables above draining into this first fence —
+    # ~20 ms x 1776 UNet leaves (NOTES.md round 5, measured).
+    cond_exe = cond_jit.lower(params["conditioner"], tokens).compile()
+    c, uc = cond_exe(params["conditioner"], tokens)
     _force(c["crossattn"])
     c, uc = (jax.tree.map(lambda x: x.astype(dtype), t) for t in (c, uc))
     compile_cond = time.time() - t0
     t0 = time.time()
-    c2, _ = cond_jit(params["conditioner"], tokens)
+    c2, _ = cond_exe(params["conditioner"], tokens)
     _force(c2["crossattn"])
     t_cond = time.time() - t0
 
