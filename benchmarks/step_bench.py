@@ -188,11 +188,18 @@ def main():
         denoised, aux = den(network, xb, sb, cb)
         return guider.combine(denoised, s), aux["rendered"]
 
+    # mirror engine.make_denoise: cached steps dedupe the guider-declared
+    # duplicate-copy prefix (x3 rows 0/1); CD360_PREFIX_DEDUPE=0 for the A/B
+    prefix_dedupe = None
+    if os.environ.get("CD360_PREFIX_DEDUPE", "1") != "0":
+        prefix_dedupe = getattr(guider, "prefix_copy_groups", None)
+
     def cached_step(params, caches, x, sigma, next_sigma):
         def network(xs, t, c, **kw):
             return unet_apply(
                 params, cfg, xs, t, c["crossattn"], c["vector"],
                 cams=cams, nerf_caches=caches, compute_dtype=dtype,
+                prefix_dedupe=prefix_dedupe,
             )
 
         s = jnp.full((b,), sigma, jnp.float32)

@@ -122,6 +122,17 @@ class scheduled_cfg_img_text_ref:
     def num_copies(self):
         return 3
 
+    @property
+    def prefix_copy_groups(self):
+        """Copies 0/1 are identical until the first image-cross (pose)
+        block BY CONSTRUCTION: ``prepare`` builds their text/vector rows
+        from the same ``uc`` slices ([uc1, uc1, c1]) and tiles x/sigma, so
+        every pre-pose-block op (conv_in, time/vector-emb resblocks) yields
+        equal rows. The UNet may therefore compute that prefix on the 2
+        unique copies and expand (models/unet.py prefix_dedupe; measured
+        2.2 ms/step of the x3 cached step, round 5)."""
+        return (0, 0, 1)
+
 
 @dataclasses.dataclass(frozen=True)
 class linear_prediction_guider:

@@ -109,6 +109,7 @@ class Engine:
         nerf_caches=None,
         ref_features=None,
         ctx_kv=None,
+        prefix_dedupe=None,
     ):
         """Returns network(x, t, cond, input_ref=, sigmas_ref=, key=) ->
         (eps, aux) — the callable the Denoiser wraps (wrappers.py:24-35)."""
@@ -131,6 +132,7 @@ class Engine:
                 ref_features=ref_features,
                 ctx_kv=ctx_kv,
                 compute_dtype=self.cfg.dtype,
+                prefix_dedupe=prefix_dedupe,
             )
 
         return network
@@ -358,6 +360,19 @@ class Engine:
                 ctx_kv = precompute_context_kv(
                     params["unet"], self.cfg.unet, ctx.astype(self.cfg.dtype)
                 )
+            # cached steps only: the guider-declared duplicate copies (x3's
+            # rows 0/1) share their pre-pose-block prefix; never under
+            # cfg_sharding (the internal row-dedupe gather would cross the
+            # cfg axis). CD360_PREFIX_DEDUPE=0 restores full-row compute.
+            import os as _os
+
+            prefix_dedupe = None
+            if (
+                nerf_caches is not None
+                and cfg_sharding is None
+                and _os.environ.get("CD360_PREFIX_DEDUPE", "1") != "0"
+            ):
+                prefix_dedupe = getattr(guider, "prefix_copy_groups", None)
             network = self.network_fn(
                 params,
                 cams,
@@ -366,6 +381,7 @@ class Engine:
                 nerf_caches=nerf_caches,
                 ref_features=None if nerf_caches is not None else ref_features,
                 ctx_kv=ctx_kv,
+                prefix_dedupe=prefix_dedupe,
             )
 
             def denoise(xi, sigma_vec):

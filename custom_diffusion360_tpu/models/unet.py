@@ -338,6 +338,7 @@ def unet_apply(
     ref_features=None,
     ctx_kv=None,
     compute_dtype=jnp.float32,
+    prefix_dedupe=None,
 ):
     """Denoising forward.
 
@@ -358,6 +359,14 @@ def unet_apply(
       projections for a step-invariant context (precompute_context_kv) —
       inference-only; the target context passed here must equal the one the
       cache was built from.
+    prefix_dedupe: optional per-copy group tuple (e.g. (0, 0, 1)) declaring
+      that CFG copies with the same group id carry identical x/emb rows, so
+      everything BEFORE the first pose/attention block (conv_in + the ds1
+      resblocks + downsample — the only row-divergence-free prefix) runs on
+      the unique copies only and expands at the first 'attn' layer (incl.
+      the skip tensors). Guiders whose ``prepare`` builds duplicate copies
+      declare this (guiders.prefix_copy_groups); cached-inference only —
+      ignored when the reference stream runs (its rows are per-view).
 
     Returns (eps, aux) where aux has fg_mask_list, alphas_list, rgb_list,
     rendered ({attn_id: {d: feats}}).
@@ -391,6 +400,33 @@ def unet_apply(
 
     inb_spec, mid_spec, outb_spec, _ = build_unet_spec(cfg)
     stream = _Stream(x.astype(compute_dtype), hr)
+
+    # Pre-pose-block prefix dedupe (see docstring): run conv_in + the
+    # pre-attention resblocks on the unique CFG copies only; expansion back
+    # to the full row count (incl. accumulated skip tensors) happens at the
+    # first 'attn' layer. x3 cached step measured 2.2 ms/step cheaper.
+    expand_rows = None
+    emb_full = emb
+    if prefix_dedupe is not None and not run_ref:
+        groups = tuple(prefix_dedupe)
+        ncopies = len(groups)
+        if b % ncopies == 0 and len(set(groups)) < ncopies:
+            import numpy as _np
+
+            bb = b // ncopies
+            rep = {}
+            for ci, g in enumerate(groups):
+                rep.setdefault(g, ci)
+            order = sorted(rep)
+            uniq_rows = jnp.asarray(_np.concatenate(
+                [_np.arange(rep[g] * bb, (rep[g] + 1) * bb) for g in order]
+            ))
+            pos = {g: i for i, g in enumerate(order)}
+            expand_rows = jnp.asarray(_np.concatenate(
+                [_np.arange(pos[g] * bb, (pos[g] + 1) * bb) for g in groups]
+            ))
+            stream.h = jnp.take(stream.h, uniq_rows, axis=0)
+            emb = jnp.take(emb, uniq_rows, axis=0)
 
     fg_mask_list, alphas_list, rgb_list = [], [], []
     rendered = {}
@@ -453,9 +489,20 @@ def unet_apply(
     hrs = []
     for lp_block, spec_block in zip(params["input_blocks"], inb_spec):
         for lp, spec in zip(lp_block, spec_block):
+            if expand_rows is not None and spec[0] == "attn":
+                stream.h = jnp.take(stream.h, expand_rows, axis=0)
+                hs = [jnp.take(t, expand_rows, axis=0) for t in hs]
+                emb = emb_full
+                expand_rows = None
             apply_layer(lp, spec, stream, next_key())
         hs.append(stream.h)
         hrs.append(stream.hr)
+
+    if expand_rows is not None:  # no attention in the input blocks
+        stream.h = jnp.take(stream.h, expand_rows, axis=0)
+        hs = [jnp.take(t, expand_rows, axis=0) for t in hs]
+        emb = emb_full
+        expand_rows = None
 
     for lp, spec in zip(params["middle_block"], mid_spec):
         apply_layer(lp, spec, stream, next_key())
