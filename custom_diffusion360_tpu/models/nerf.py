@@ -681,19 +681,25 @@ def effective_chunk(chunk: int, rows: int, chunk_rows_ref: int, hw: int) -> int:
     """Batch-scaled ray-chunk size, rounded DOWN to a power of two.
 
     chunk_size is tuned for ``chunk_rows_ref`` batch rows; more rows scale
-    the chunk down proportionally (floor 128) so the per-chunk working set
-    stays at the tuned level (the b=4 1024^2 OOM fix). The power-of-two
-    rounding matters: ``hw`` is always a power of two here, and the old
-    halve-until-divides loop sent any non-pow2 scaled chunk (e.g. the x3
-    guider's rows=3 -> 1024*2//3 = 682) cascading to chunk=2 — a
-    2048-step scan that made the x3 render 2.6x the x2 render instead of
-    ~1.6x (round-5 A/B: 2061 ms pathological vs 1269 fixed vs 791 at x2;
-    the x3 render dedupe then takes it to 897).
+    the chunk down QUADRATICALLY (floor 128). Linear scaling (keeping
+    rows x chunk constant) holds the per-chunk activation working set at
+    the tuned level but ignores that the render's per-row buffers (NeRF
+    caches, one-hot/plane-sample temporaries) grow with the row count too:
+    from the chunk-4096 base, linear gave rows=8 chunk 1024 and a 23.7 G
+    compile-time OOM (round-5 bench, batch-4), while quadratic reproduces
+    every measured-good config — rows=3 -> 1024 (the 897 ms deduped x3
+    render), rows=8 -> 256 (the proven 13.98 G batch-4 fit, r4).
+
+    The power-of-two rounding matters: ``hw`` is always a power of two
+    here, and the old halve-until-divides loop sent any non-pow2 scaled
+    chunk (e.g. rows=3 -> 682) cascading to chunk=2 — a 2048-step scan
+    that made the x3 render 2.6x the x2 render instead of ~1.6x (round-5
+    A/B: 2061 ms pathological vs 1269 fixed vs 791 at x2).
     """
     if not chunk:
         return 0
     if chunk_rows_ref and rows > chunk_rows_ref:
-        chunk = max(128, chunk * chunk_rows_ref // rows)
+        chunk = max(128, chunk * chunk_rows_ref**2 // rows**2)
     chunk = 1 << (chunk.bit_length() - 1)  # round down to a power of two
     while hw % chunk:  # hw not pow2 (non-square crops): old fallback
         chunk //= 2

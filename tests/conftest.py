@@ -33,12 +33,14 @@ setup_compile_cache(min_compile_secs=1.0)
 
 import pytest  # noqa: E402
 
-# Fast-lane marking (VERDICT r4 #6): `pytest -m "not slow"` must give a
-# green signal in <10 min on a 1-core box. Everything here is a
-# multi-10s end-to-end/parity compile whose AREA is still covered by
-# smaller tests in the fast lane; the full suite is unchanged. Names
-# (not nodeids) so parametrized variants are caught too. Durations from
-# the round-5 `--durations=60` run.
+# Fast-lane marking (VERDICT r4 #6): `pytest -m "not slow"` gives a green
+# signal in ~16 min measured on the 1-core build VM (round-5 session,
+# 275 tests; a multi-core host is proportionally faster — the wall is
+# serialized CPU jit compiles). Everything here is a multi-10s
+# end-to-end/parity compile whose AREA is still covered by smaller tests
+# in the fast lane; the full suite is unchanged. Names (not nodeids) so
+# parametrized variants are caught too. Durations from the round-5
+# `--durations=60` run.
 _SLOW_TEST_NAMES = {
     "test_step_updates_only_trainable",          # 300 s
     "test_capture_view_sharded_matches",         # 124 s
@@ -55,6 +57,7 @@ _SLOW_TEST_NAMES = {
     "test_compact_refs_match_dense",             # 49 s
     "test_cfg3_render_dedupe_matches_full",      # 225 s
     "test_cfg3_render_dedupe_matches_full_chunked",  # 90 s
+    "test_prefix_dedupe_matches_full",           # 78 s (x3 e2e still in lane via test_ip2p_guider_path)
     "test_dp_sampling_over_mesh",                # 47 s
     "test_unet_gradients_flow_only_through_target_stream",  # 29 s
 }

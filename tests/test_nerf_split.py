@@ -121,10 +121,12 @@ def test_effective_chunk_pow2_rounding():
     guider rows=3 pathology that made its render 2.6x the x2 render)."""
     from custom_diffusion360_tpu.models.nerf import effective_chunk
 
-    # the x3 case: 1024 * 2 // 3 = 682 -> 512 (NOT 2)
-    assert effective_chunk(1024, 3, 2, 4096) == 512
-    # pow2 row counts keep exact scaling
-    assert effective_chunk(1024, 8, 2, 4096) == 256
+    # the x3 case from the 4096 base: 4096 * 4 // 9 = 1820 -> 1024 (NOT 2)
+    assert effective_chunk(4096, 3, 2, 4096) == 1024
+    # quadratic row scaling: rows=8 from the 4096 base reproduces the
+    # proven batch-4 fit (256); linear (1024) compile-OOMed at 23.7 G
+    assert effective_chunk(4096, 8, 2, 4096) == 256
+    assert effective_chunk(1024, 3, 2, 4096) == 256
     # no scaling at/below the tuned row count
     assert effective_chunk(1024, 2, 2, 4096) == 1024
     assert effective_chunk(4096, 2, 2, 4096) == 4096
