@@ -493,7 +493,10 @@ def _orchestrate(args, extra_argv):
             ("CFGx3", ["--scale_im", "3.5", "--as_secondary"]),
             ("batch-4", ["--batch", "4", "--as_secondary"]),
             ("512^2", ["--latent", "64", "--as_secondary"]),
-            ("train", ["--train", "--as_secondary"]),
+            # 8 timed steps (vs the default 3): the 0.4 s train step's min
+            # is noisy at 3 samples over the tunnel (round-5 run recorded
+            # 0.45 s where round 3 saw 0.38; extra iters cost ~2 s)
+            ("train", ["--train", "--iters", "8", "--as_secondary"]),
         ]
     jobs.append(("headline", []))
 

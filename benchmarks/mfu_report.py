@@ -278,7 +278,7 @@ def main():
             return guider.combine(denoised, s), aux["rendered"]
 
         report_phase(
-            f"NeRF render + UNet step 0 ({8 * latent}^2, CFGx2)",
+            f"NeRF render + UNet step 0 ({8 * latent}^2, CFGx{args.copies})",
             render_step, (params, refs, x, sigmas[0]),
         )
         return

@@ -129,8 +129,9 @@ class scheduled_cfg_img_text_ref:
         from the same ``uc`` slices ([uc1, uc1, c1]) and tiles x/sigma, so
         every pre-pose-block op (conv_in, time/vector-emb resblocks) yields
         equal rows. The UNet may therefore compute that prefix on the 2
-        unique copies and expand (models/unet.py prefix_dedupe; measured
-        2.2 ms/step of the x3 cached step, round 5)."""
+        unique copies and expand (models/unet.py prefix_dedupe; standalone
+        prefix probe predicted 2.2 ms/step, step_bench --copies 3 A/B
+        measured ~3 ms/step, round 5)."""
         return (0, 0, 1)
 
 

@@ -341,7 +341,12 @@ class Engine:
             ref_features = self.build_ref_features(
                 references, choices, b, guider.num_copies,
                 compact=mask_ref is None, ref_sharding=ref_sharding,
-                shared_cams=shared_target_cams,
+                # the x3 render dedupe slices/concats along the COPY axis —
+                # under cfg_sharding those rows live on different chips, so
+                # the dedupe would trade the render's per-copy latency
+                # sharding for cross-cfg-axis collectives; keep full rows
+                # there (same gate as the prefix dedupe below)
+                shared_cams=shared_target_cams and cfg_sharding is None,
             )
 
         def make_denoise(nerf_caches, collect_rendered):

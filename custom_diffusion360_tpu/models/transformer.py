@@ -347,16 +347,11 @@ def _reference_attn(
 
     def finish(nout, context):
         """Per-point text cross-attention + volume render of a nerfsd
-        result; returns DENSE (batch-major, S-collapsed) outputs."""
+        result; returns DENSE (batch-major, S-collapsed) outputs.
+        ``context`` is never None here — the sole transformer_block_apply
+        call site always passes the (fp32) text context."""
         feats = nout["features"]  # (B, hw, S, C) f32 — or chunked layout
         nc = nout.get("chunked")
-        if nc and context is None:
-            # Self-attention is NOT ray-order-invariant across chunks; fold
-            # the chunked layout back to (B, hw, S, C), take default path.
-            _, b, chunk_hw, s, c = feats.shape
-            feats = jnp.moveaxis(feats, 0, 1).reshape(b, nc * chunk_hw, s, c)
-            nc = None
-            nout = dict(nout, chunked=None)
         if nc:
             # scan-native (nc, B, chunk, S, C): the per-point text attention
             # is ray-order-invariant, so run it as batch nc*B and transpose
@@ -431,15 +426,10 @@ def _reference_attn(
     # (the eager 2b->3b expansion measured +4 G temp and OOMed the x3
     # sample — BENCH r5 session).
     b = dd_b
-    out_a = finish(nerf_out, None if context is None else context[: 2 * b])
-    if context is None:
-        out_b = tuple(
-            None if t is None else t[b: 2 * b] for t in out_a
-        )
-    else:
-        out_b = finish(
-            _slice_copy_rows(nerf_out, b, 2 * b), context[2 * b:]
-        )
+    out_a = finish(nerf_out, context[: 2 * b])
+    out_b = finish(
+        _slice_copy_rows(nerf_out, b, 2 * b), context[2 * b:]
+    )
 
     def cat(ta, tb):
         if ta is None:

@@ -260,16 +260,25 @@ def encode_first_stage(params, x, key=None, cfg: VAEConfig = VAEConfig(), sample
     return z * cfg.scale_factor
 
 
+# latent side at/above which batched decode switches to per-row lax.map
+# (1024^2 output); module constant so tests can exercise both paths
+_PER_ROW_DECODE_MIN_LATENT = 128
+
+
 def decode_first_stage(params, z, cfg: VAEConfig = VAEConfig()):
-    """Latents -> images. For b > 1 the rows decode through a lax.map so
-    only ONE image's decoder activations are live at a time: the decoder's
-    large-spatial feature maps (~2 GB/image peak at 1024^2) scale linearly
-    with batch and are what pushed batch-4 1024^2 serving past the chip's
-    HBM (BENCH_r05 batch-4 memory record); per-image decode costs nothing —
-    the conv emitters at these extents gain ~nothing from batching
-    (vae_bench, NOTES round-3)."""
+    """Latents -> images. At LARGE extents (latent side >= 128, i.e. 1024^2
+    output) batched rows decode through a lax.map so only ONE image's
+    decoder activations are live at a time: the decoder's large-spatial
+    feature maps (~2 GB/image peak at 1024^2) scale linearly with batch and
+    are what pushed batch-4 1024^2 serving past the chip's HBM (BENCH_r05
+    batch-4 memory record); per-image decode costs nothing there — the conv
+    emitters at these extents gain ~nothing from batching (vae_bench, NOTES
+    round-3). Small-extent batches (log_images grids, 512^2 serving, DP
+    meshes where the batch axis is sharded) keep the plain batched decode:
+    their activations fit, and the sequential map would serialize work a
+    data-parallel mesh wants to split."""
     z = z / cfg.scale_factor
-    if z.shape[0] == 1:
+    if z.shape[0] == 1 or z.shape[1] < _PER_ROW_DECODE_MIN_LATENT:
         return vae_decode(params, z, cfg)
     return jax.lax.map(
         lambda zi: vae_decode(params, zi[None], cfg)[0], z

@@ -133,17 +133,27 @@ class TestVAE:
         y = f(jnp.ones((1, 32, 32, 3)) * 0.5)
         assert jnp.isfinite(y).all()
 
-    def test_batched_decode_matches_per_row(self):
-        """decode_first_stage's b>1 lax.map row decode (the batch-4
-        serving HBM fix) must equal independent per-row decodes."""
+    def test_batched_decode_matches_per_row(self, monkeypatch):
+        """decode_first_stage's large-extent lax.map row decode (the
+        batch-4 serving HBM fix) must equal independent per-row decodes —
+        exercised on BOTH sides of the extent gate (small extents keep the
+        plain batched decode so DP meshes / log_images grids stay
+        parallel)."""
+        from custom_diffusion360_tpu.models import vae as vae_mod
+
         p = init_vae_params(jax.random.PRNGKey(0), TINY_VAE)
         z = jax.random.normal(jax.random.PRNGKey(1), (3, 4, 4, TINY_VAE.z_channels))
-        batched = decode_first_stage(p, z, TINY_VAE)
         rows = jnp.concatenate(
             [decode_first_stage(p, z[i : i + 1], TINY_VAE) for i in range(3)]
         )
+        batched = decode_first_stage(p, z, TINY_VAE)  # plain path (4 < gate)
         np.testing.assert_allclose(
             np.asarray(batched), np.asarray(rows), atol=1e-6
+        )
+        monkeypatch.setattr(vae_mod, "_PER_ROW_DECODE_MIN_LATENT", 4)
+        mapped = decode_first_stage(p, z, TINY_VAE)  # lax.map path
+        np.testing.assert_allclose(
+            np.asarray(mapped), np.asarray(rows), atol=1e-6
         )
 
 

@@ -192,3 +192,57 @@ def test_view_sharded_render_dense_path():
     np.testing.assert_allclose(
         np.asarray(dense["m1"][0]), np.asarray(want["m1"][0])
     )
+
+
+def test_cfg3_sharded_latency_mode_with_shared_cams():
+    """The reference-default x3 guider under cfg_sharding with
+    shared_target_cams=True — exactly what cli/sample.py --latency_shard
+    passes. The x3 render dedupe and the pose-block prefix dedupe must
+    gate themselves OFF under cfg_sharding (their copy-axis slices would
+    cross the 'cfg' mesh axis), so the 3 CFG rows partition cleanly over
+    a 3-device cfg axis and match the unsharded (deduped) run."""
+    import functools
+
+    from custom_diffusion360_tpu.diffusion.guiders import (
+        scheduled_cfg_img_text_ref,
+    )
+    from custom_diffusion360_tpu.parallel.mesh import batch_sharding
+
+    eng = Engine(TINY_CFG)
+    params = eng.init_params(jax.random.PRNGKey(0))
+    mesh = make_mesh(3)  # cfg axis = guider.num_copies == 3 rows
+    b = 1
+
+    rng = np.random.default_rng(3)
+    refs = {}
+    for _, _, attn_id, d in iter_pose_blocks(TINY_CFG.unet):
+        refs.setdefault(attn_id, {})[d] = jnp.asarray(
+            rng.normal(size=(N + 1, 16, 128)).astype(np.float32) * 0.1
+        )
+    cond = {
+        "crossattn": jnp.ones((b, 16, 96)) * 0.1,
+        "vector": jnp.ones((b, 72)) * 0.1,
+    }
+    guider = scheduled_cfg_img_text_ref(scale=5.0, scale_im=2.0)
+    cams1 = random_cameras((1 + N) * b, seed=4).reshape(b, 1 + N)
+    cams = jax.tree.map(lambda x: jnp.concatenate([x] * 3, axis=0), cams1)
+
+    def sample(params, refs, cond, cams, key, sh=None):
+        return eng.sample(
+            params, cond, cond, guider, key,
+            shape=(b, 8, 8, 4), cams=cams, references=refs,
+            choices=np.arange(N), num_steps=2, cfg_sharding=sh,
+            shared_target_cams=True,
+        )
+
+    key = jax.random.PRNGKey(5)
+    base = sample(params, refs, cond, cams, key)  # deduped, unsharded
+
+    jsample = jax.jit(functools.partial(sample, sh=batch_sharding(mesh)))
+    args = (
+        replicate(params, mesh), replicate(refs, mesh),
+        replicate(cond, mesh), shard_batch(cams, mesh), key,
+    )
+    out = jsample(*args)
+    assert out.shape == (b, 8, 8, 4)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(base), atol=2e-4)
