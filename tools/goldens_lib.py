@@ -204,6 +204,26 @@ def compute_goldens():
         )
         out["sample3_latent"] = z3
 
+        # --- x3 guider, deduped paths (round 5): shared_target_cams
+        # licenses the render dedupe (2 unique copies) and the guider's
+        # prefix_copy_groups the pre-pose-block prefix dedupe — this key
+        # pins the numerics of BOTH new paths, not just their equivalence
+        # (tests/test_engine.py) -------------------------------------------
+        guider3 = scheduled_cfg_img_text_ref(scale=7.5, scale_im=3.5)
+        cams1 = rot_cams(1 + N, 105).reshape(1, 1 + N)
+        cams3 = jax.tree.map(
+            lambda x: jnp.concatenate([x] * 3, axis=0), cams1
+        )
+        uc_s = {
+            "crossattn": jnp.ones((1, 16, TINY_CFG.unet.context_dim)) * 0.05,
+            "vector": jnp.ones((1, TINY_CFG.unet.adm_in_channels)) * 0.05,
+        }
+        out["sample3_latent_x3_dedupe"] = eng.sample(
+            params, cond_s, uc_s, guider3, jax.random.PRNGKey(0),
+            shape=(1, 8, 8, 4), cams=cams3, references=refs_e,
+            choices=np.arange(N), num_steps=3, shared_target_cams=True,
+        )
+
         # --- one optimizer step (loss + param-update fingerprint) --------
         trainer = Trainer(eng, TrainConfig())
         state = trainer.init_state(params)
